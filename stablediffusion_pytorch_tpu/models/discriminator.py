@@ -1,0 +1,51 @@
+"""PatchGAN discriminator for the stage-1 adversarial loss.
+
+Re-implements reference models/discriminator.py:5-41: conv stack
+64 -> 128 -> 256 -> 1 with 4x4 kernels, stride 2 (stride 1 on the last two
+in the reference's padding scheme), BatchNorm + LeakyReLU(0.2), emitting a
+grid of real/fake logits.
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import nnx
+
+
+class _Identity(nnx.Module):
+    def __call__(self, x):
+        return x
+
+
+class Discriminator(nnx.Module):
+    def __init__(self, im_channels: int = 3,
+                 conv_channels=(64, 128, 256),
+                 kernels=(4, 4, 4, 4),
+                 strides=(2, 2, 2, 1),
+                 paddings=(1, 1, 1, 1), *, rngs: nnx.Rngs, dtype=None):
+        layers_dim = [im_channels] + list(conv_channels) + [1]
+        self.num_layers = len(layers_dim) - 1
+        kw = dict(dtype=dtype, rngs=rngs)
+        self.convs = nnx.List([
+            nnx.Conv(layers_dim[i], layers_dim[i + 1],
+                     kernel_size=(kernels[i], kernels[i]),
+                     strides=(strides[i], strides[i]),
+                     padding=[(paddings[i], paddings[i])] * 2,
+                     use_bias=(i == 0), **kw)
+            for i in range(self.num_layers)
+        ])
+        # BatchNorm on all but first and last (discriminator.py:26-31)
+        self.norms = nnx.List([
+            nnx.BatchNorm(layers_dim[i + 1], use_running_average=False, **kw)
+            if 0 < i < self.num_layers - 1 else _Identity()
+            for i in range(self.num_layers)
+        ])
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = x
+        for i in range(self.num_layers):
+            out = self.convs[i](out)
+            out = self.norms[i](out)
+            if i != self.num_layers - 1:
+                out = nnx.leaky_relu(out, negative_slope=0.2)
+        return out

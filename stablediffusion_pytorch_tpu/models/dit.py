@@ -1,0 +1,318 @@
+"""DiT denoiser: patch embedding, adaLN transformer layers, unpatchify.
+
+Re-implements the reference DiT stack in NHWC flax.nnx:
+  * PatchEmbedding — einops-style patchify + Linear + on-the-fly 2-D
+    sinusoidal position embedding (reference: models/patch_embed.py:5-96)
+  * fused-QKV self-attention, att_dim = heads * head_dim
+    (reference: models/attention.py:6-78)
+  * TransformerLayer — adaLN: ReLU+Linear predicts 6*hidden modulation
+    params (pre-attn shift/scale, post-attn gate, pre-mlp shift/scale,
+    post-mlp gate) from the t-emb; affine-free LayerNorms; optional un-gated
+    cross-attention sub-block (reference: models/transformer_layer.py:6-106)
+  * DIT — optional mask conditioning (1x1 conv + channel concat before
+    patchify), class-emb summed into t-emb, final adaLN (2*hidden) +
+    zero-init proj_out + unpatchify (reference: models/transformer.py:43-213)
+
+DiT zero/xavier init conventions are preserved (transformer_layer.py:68-78,
+transformer.py:144-151) — they matter for training stability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.models.common import (
+    MultiheadAttention,
+    get_time_embedding,
+)
+from stablediffusion_pytorch_tpu.ops.attention import scaled_dot_product_attention
+from stablediffusion_pytorch_tpu.utils.config_utils import (
+    get_config_value,
+    validate_class_config,
+    validate_class_conditional_input,
+    validate_image_config,
+    validate_image_conditional_input,
+    validate_text_config,
+)
+
+_xavier = nnx.initializers.glorot_uniform()
+_zeros = nnx.initializers.zeros
+_normal02 = nnx.initializers.normal(stddev=0.02)
+
+
+def get_patch_position_embedding(pos_emb_dim: int, grid_size) -> jax.Array:
+    """2-D sinusoidal position embedding: (h-emb ‖ w-emb), each sin‖cos.
+
+    Reference: models/patch_embed.py:5-34.
+    """
+    assert pos_emb_dim % 4 == 0, "Position embedding dimension must be divisible by 4"
+    gh, gw = grid_size
+    grid_h = jnp.repeat(jnp.arange(gh, dtype=jnp.float32), gw)
+    grid_w = jnp.tile(jnp.arange(gw, dtype=jnp.float32), gh)
+    factor = 10000 ** (
+        jnp.arange(0, pos_emb_dim // 4, dtype=jnp.float32) / (pos_emb_dim // 4)
+    )
+
+    def emb(pos):
+        ang = pos[:, None] / factor[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+    return jnp.concatenate([emb(grid_h), emb(grid_w)], axis=-1)
+
+
+class PatchEmbedding(nnx.Module):
+    """Patchify NHWC image to token sequence + position embedding.
+
+    Reference: models/patch_embed.py:37-96 (torch rearrange
+    'b c (nh ph) (nw pw) -> b (nh nw) (ph pw c)'; the (ph pw c) patch-dim
+    ordering is preserved here for checkpoint-porting parity).
+    """
+
+    def __init__(self, im_channels: int, patch_height: int, patch_width: int,
+                 hidden_size: int, *, rngs: nnx.Rngs, dtype=None):
+        self.patch_height = patch_height
+        self.patch_width = patch_width
+        self.hidden_size = hidden_size
+        patch_dim = im_channels * patch_height * patch_width
+        self.patch_embed = nnx.Linear(patch_dim, hidden_size,
+                                      kernel_init=_xavier, bias_init=_zeros,
+                                      dtype=dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        ph, pw = self.patch_height, self.patch_width
+        assert h % ph == 0, "Input height must be divisible by patch height"
+        assert w % pw == 0, "Input width must be divisible by patch width"
+        nh, nw = h // ph, w // pw
+        # b (nh ph) (nw pw) c -> b (nh nw) (ph pw c)
+        out = x.reshape(b, nh, ph, nw, pw, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, ph * pw * c)
+        out = self.patch_embed(out)
+        pos = get_patch_position_embedding(self.hidden_size, (nh, nw))
+        return out + pos.astype(out.dtype)
+
+
+class Attention(nnx.Module):
+    """DiT fused-QKV self-attention (reference: models/attention.py:6-78)."""
+
+    def __init__(self, config: dict, *, rngs: nnx.Rngs, dtype=None):
+        self.n_heads = config["num_heads"]
+        self.head_dim = config["head_dim"]
+        hidden = config["hidden_size"]
+        att_dim = self.n_heads * self.head_dim
+        self.qkv_proj = nnx.Linear(hidden, 3 * att_dim, kernel_init=_xavier,
+                                   bias_init=_zeros, dtype=dtype, rngs=rngs)
+        self.output_proj = nnx.Linear(att_dim, hidden, kernel_init=_xavier,
+                                      bias_init=_zeros, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        qkv = self.qkv_proj(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (b, n, self.n_heads, self.head_dim)
+        out = scaled_dot_product_attention(q.reshape(shape), k.reshape(shape),
+                                           v.reshape(shape))
+        return self.output_proj(out.reshape(b, n, -1))
+
+
+class TransformerLayer(nnx.Module):
+    """adaLN DiT block (reference: models/transformer_layer.py:6-106)."""
+
+    def __init__(self, config: dict, *, cross_attn: bool = False,
+                 context_dim: Optional[int] = None, rngs: nnx.Rngs, dtype=None):
+        self.hidden_size = config["hidden_size"]
+        self.cross_attn = cross_attn
+        self.context_dim = context_dim
+        ff_hidden_dim = 4 * self.hidden_size
+        kw = dict(dtype=dtype, rngs=rngs)
+
+        self.att_norm = nnx.LayerNorm(self.hidden_size, use_scale=False,
+                                      use_bias=False, epsilon=1e-6, **kw)
+        self.attn_block = Attention(config, **kw)
+        self.ff_norm = nnx.LayerNorm(self.hidden_size, use_scale=False,
+                                     use_bias=False, epsilon=1e-6, **kw)
+        self.mlp_in = nnx.Linear(self.hidden_size, ff_hidden_dim,
+                                 kernel_init=_xavier, bias_init=_zeros, **kw)
+        self.mlp_out = nnx.Linear(ff_hidden_dim, self.hidden_size,
+                                  kernel_init=_xavier, bias_init=_zeros, **kw)
+
+        if cross_attn:
+            assert context_dim is not None, \
+                "Context dimension must be provided for cross attention"
+            self.cross_attn_norm = nnx.LayerNorm(self.hidden_size,
+                                                 use_scale=False,
+                                                 use_bias=False,
+                                                 epsilon=1e-6, **kw)
+            self.cross_attn_block = MultiheadAttention(
+                self.hidden_size, config["num_heads"], rngs=rngs, dtype=dtype)
+            self.context_proj = nnx.Linear(context_dim, self.hidden_size,
+                                           kernel_init=_xavier,
+                                           bias_init=_zeros, **kw)
+
+        # zero-init so each block starts as identity (transformer_layer.py:73-74)
+        self.adaptive_norm_layer = nnx.Linear(
+            self.hidden_size, 6 * self.hidden_size, kernel_init=_zeros,
+            bias_init=_zeros, **kw)
+
+    def __call__(self, x: jax.Array, condition: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        mods = self.adaptive_norm_layer(nnx.relu(condition))
+        (pre_attn_shift, pre_attn_scale, post_attn_scale,
+         pre_mlp_shift, pre_mlp_scale, post_mlp_scale) = jnp.split(mods, 6, axis=-1)
+
+        out = x
+        attn_in = (self.att_norm(out) * (1 + pre_attn_scale[:, None])
+                   + pre_attn_shift[:, None])
+        out = out + post_attn_scale[:, None] * self.attn_block(attn_in)
+
+        if self.cross_attn and context is not None:
+            ctx = self.context_proj(context)
+            cross_in = self.cross_attn_norm(out)
+            out = out + self.cross_attn_block(cross_in, ctx, ctx)
+
+        mlp_in = (self.ff_norm(out) * (1 + pre_mlp_scale[:, None])
+                  + pre_mlp_shift[:, None])
+        mlp_out = self.mlp_out(nnx.relu(self.mlp_in(mlp_in)))
+        return out + post_mlp_scale[:, None] * mlp_out
+
+
+class DIT(nnx.Module):
+    """DiT denoiser (reference: models/transformer.py:43-213)."""
+
+    def __init__(self, im_channels: int, model_config: dict,
+                 image_size: Optional[int] = None, *, rngs: nnx.Rngs,
+                 dtype=None):
+        self.im_channels = im_channels
+        self.hidden_size = model_config["hidden_size"]
+        self.patch_height = model_config["patch_size"]
+        self.patch_width = model_config["patch_size"]
+        self.timestep_emb_dim = model_config["timestep_emb_dim"]
+        num_layers = model_config["num_layers"]
+
+        # ----- conditioning config (reference: transformer.py:59-97) -----
+        self.class_cond = False
+        self.text_cond = False
+        self.image_cond = False
+        self.text_embed_dim = None
+        condition_config = get_config_value(model_config, "condition_config", None)
+        if condition_config is not None:
+            assert "condition_types" in condition_config, \
+                "Condition Type not provided in model config"
+            condition_types = condition_config["condition_types"]
+            if "class" in condition_types:
+                validate_class_config(condition_config)
+                self.class_cond = True
+                self.num_classes = condition_config["class_condition_config"]["num_classes"]
+            if "text" in condition_types:
+                validate_text_config(condition_config)
+                self.text_cond = True
+                self.text_embed_dim = condition_config["text_condition_config"]["text_embed_dim"]
+            if "image" in condition_types:
+                validate_image_config(condition_config)
+                self.image_cond = True
+                image_cfg = condition_config["image_condition_config"]
+                self.im_cond_input_ch = image_cfg["image_condition_input_channels"]
+                self.im_cond_output_ch = image_cfg["image_condition_output_channels"]
+        self.cond = self.text_cond or self.image_cond or self.class_cond
+
+        kw = dict(dtype=dtype, rngs=rngs)
+
+        if self.class_cond:
+            self.class_emb = nnx.Embed(self.num_classes, self.timestep_emb_dim,
+                                       rngs=rngs)
+        if self.image_cond:
+            self.cond_conv_in = nnx.Conv(self.im_cond_input_ch,
+                                         self.im_cond_output_ch,
+                                         kernel_size=(1, 1), use_bias=False, **kw)
+            patch_in_channels = im_channels + self.im_cond_output_ch
+        else:
+            patch_in_channels = im_channels
+
+        self.patch_embed_layer = PatchEmbedding(
+            patch_in_channels, self.patch_height, self.patch_width,
+            self.hidden_size, **kw)
+
+        # t-emb MLP with ReLU + std-0.02 init (transformer.py:107-112,144-145)
+        self.t_proj_1 = nnx.Linear(self.timestep_emb_dim, self.hidden_size,
+                                   kernel_init=_normal02, **kw)
+        self.t_proj_2 = nnx.Linear(self.hidden_size, self.hidden_size,
+                                   kernel_init=_normal02, **kw)
+
+        layer_config = {
+            "hidden_size": self.hidden_size,
+            "num_heads": model_config["num_heads"],
+            "head_dim": model_config["head_dim"],
+        }
+        self.transformer_layers = nnx.List([
+            TransformerLayer(layer_config, cross_attn=self.text_cond,
+                             context_dim=self.text_embed_dim if self.text_cond else None,
+                             **kw)
+            for _ in range(num_layers)
+        ])
+
+        self.norm = nnx.LayerNorm(self.hidden_size, use_scale=False,
+                                  use_bias=False, epsilon=1e-6, **kw)
+        self.adaptive_norm_layer = nnx.Linear(self.hidden_size,
+                                              2 * self.hidden_size,
+                                              kernel_init=_zeros,
+                                              bias_init=_zeros, **kw)
+        self.proj_out = nnx.Linear(
+            self.hidden_size,
+            self.patch_height * self.patch_width * im_channels,
+            kernel_init=_zeros, bias_init=_zeros, **kw)
+
+    def __call__(self, x: jax.Array, t: jax.Array,
+                 cond_input: Optional[dict] = None) -> jax.Array:
+        if self.cond:
+            assert cond_input is not None, \
+                "Model initialized with conditioning so cond_input cannot be None"
+
+        patch_source = x
+        if self.image_cond:
+            validate_image_conditional_input(cond_input, x)
+            im_cond = cond_input["image"].astype(x.dtype)
+            im_cond = jax.image.resize(
+                im_cond,
+                (im_cond.shape[0], x.shape[1], x.shape[2], im_cond.shape[3]),
+                method="nearest",
+            )
+            im_cond = self.cond_conv_in(im_cond)
+            patch_source = jnp.concatenate([patch_source, im_cond], axis=-1)
+
+        out = self.patch_embed_layer(patch_source)
+
+        t = jnp.atleast_1d(jnp.asarray(t))
+        t_emb = get_time_embedding(t, self.timestep_emb_dim)
+
+        if self.class_cond:
+            validate_class_conditional_input(cond_input, x, self.num_classes)
+            class_embed = cond_input["class"].astype(t_emb.dtype) @ \
+                self.class_emb.embedding.value.astype(t_emb.dtype)
+            t_emb = t_emb + class_embed
+
+        t_emb = self.t_proj_2(nnx.relu(self.t_proj_1(t_emb)))
+
+        context = None
+        if self.text_cond:
+            assert "text" in cond_input, \
+                "Model initialized with text conditioning but cond_input has no text information"
+            context = cond_input["text"].astype(out.dtype)
+
+        for layer in self.transformer_layers:
+            out = layer(out, t_emb, context)
+
+        shift, scale = jnp.split(self.adaptive_norm_layer(nnx.relu(t_emb)), 2, axis=-1)
+        out = self.norm(out) * (1 + scale[:, None]) + shift[:, None]
+        out = self.proj_out(out)
+
+        b, h, w, _ = x.shape
+        ph, pw = self.patch_height, self.patch_width
+        nh, nw = h // ph, w // pw
+        # b (nh nw) (ph pw c) -> b (nh ph) (nw pw) c
+        out = out.reshape(b, nh, nw, ph, pw, self.im_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.im_channels)
+        return out

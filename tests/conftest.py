@@ -1,9 +1,13 @@
 """Test harness: force JAX onto CPU with 8 virtual devices so multi-chip
-sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: the axon sitecustomize imports jax at interpreter startup and pins
+JAX_PLATFORMS=axon, so the env var alone is NOT enough here — the platform
+must be overridden through jax.config before any backend initializes.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

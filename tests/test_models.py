@@ -1,0 +1,203 @@
+"""Model forward-pass tests: shapes, conditioning paths, jit-ability.
+
+Mirrors the reference's smoke scripts (transformer_test.py:36-50 one cond
+forward with random text+mask; temp_model.py param counting) with small
+configs on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.models import VQVAE, VAE, Unet, DIT, Discriminator
+from stablediffusion_pytorch_tpu.models.common import get_time_embedding
+
+
+TINY_AE = {
+    "down_channels": [16, 32, 32],
+    "mid_channels": [32, 32],
+    "down_sample": [True, True],
+    "num_down_layers": 1,
+    "num_mid_layers": 1,
+    "num_up_layers": 1,
+    "attn_down": [False, False],
+    "z_channels": 4,
+    "codebook_size": 32,
+    "norm_channels": 8,
+    "num_heads": 4,
+}
+
+TINY_UNET = {
+    "down_channels": [16, 32, 32, 48],
+    "mid_channels": [48, 48, 32],
+    "down_sample": [True, True, False],
+    "attn_down": [True, True, True],
+    "time_emb_dim": 32,
+    "norm_channels": 8,
+    "num_heads": 4,
+    "conv_out_channels": 24,
+    "num_down_layers": 1,
+    "num_mid_layers": 1,
+    "num_up_layers": 1,
+}
+
+COND_CFG = {
+    "condition_types": ["class", "text", "image"],
+    "class_condition_config": {"num_classes": 10},
+    "text_condition_config": {"text_embed_dim": 24},
+    "image_condition_config": {
+        "image_condition_input_channels": 18,
+        "image_condition_output_channels": 3,
+    },
+}
+
+TINY_DIT = {
+    "hidden_size": 32,
+    "patch_size": 2,
+    "timestep_emb_dim": 16,
+    "num_layers": 2,
+    "num_heads": 4,
+    "head_dim": 8,
+}
+
+
+class TestTimeEmbedding:
+    def test_formula(self):
+        t = jnp.array([0, 5])
+        emb = get_time_embedding(t, 8)
+        factor = 10000 ** (np.arange(4) / 4)
+        expected0 = np.concatenate([np.sin(0 / factor), np.cos(0 / factor)])
+        expected5 = np.concatenate([np.sin(5 / factor), np.cos(5 / factor)])
+        np.testing.assert_allclose(emb[0], expected0, rtol=1e-5)
+        np.testing.assert_allclose(emb[1], expected5, rtol=1e-5, atol=1e-6)
+
+
+class TestVQVAE:
+    def test_roundtrip_shapes_and_losses(self):
+        model = VQVAE(3, TINY_AE, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        out, z, losses = model(x)
+        assert out.shape == (2, 32, 32, 3)
+        assert z.shape == (2, 8, 8, 4)  # 2x downsample twice
+        assert set(losses) == {"codebook_loss", "commitment_loss"}
+        assert np.isfinite(float(losses["codebook_loss"]))
+
+    def test_quantize_ste_gradient_reaches_encoder_input(self):
+        model = VQVAE(3, TINY_AE, rngs=nnx.Rngs(0))
+
+        def loss_fn(m, x):
+            out, _, losses = m(x)
+            return jnp.mean(out**2) + losses["codebook_loss"] + losses["commitment_loss"]
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        grads = nnx.grad(loss_fn)(model, x)
+        g_in = grads.encoder_conv_in.kernel.value
+        assert float(jnp.abs(g_in).max()) > 0, "STE must pass grads through quantize"
+        g_emb = grads.embedding.embedding.value
+        assert float(jnp.abs(g_emb).max()) > 0, "codebook loss must update embeddings"
+
+    def test_quantize_snaps_to_codebook(self):
+        model = VQVAE(3, TINY_AE, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4))
+        q, _, idx = model.quantize(x)
+        emb = np.asarray(model.embedding.embedding.value)
+        np.testing.assert_allclose(
+            np.asarray(q).reshape(-1, 4), emb[np.asarray(idx).reshape(-1)], rtol=1e-5
+        )
+
+    def test_noise_encode_variant(self):
+        model = VQVAE(3, TINY_AE, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+        z1, _ = model.encode(x)
+        z2, _ = model.encode(x, n_scale=0.5, key=jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+class TestVAE:
+    def test_encode_decode(self):
+        model = VAE(3, TINY_AE, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        out, enc = model(x, jax.random.PRNGKey(1))
+        assert out.shape == x.shape
+        assert enc.shape == (1, 8, 8, 8)  # 2 * z_channels
+
+
+class TestUnet:
+    def test_unconditional_forward(self):
+        model = Unet(4, TINY_UNET, rngs=nnx.Rngs(0))
+        x = jnp.ones((2, 16, 16, 4))
+        out = model(x, jnp.array([3, 7]))
+        assert out.shape == x.shape
+
+    def test_full_conditioning(self):
+        cfg = dict(TINY_UNET, condition_config=COND_CFG)
+        model = Unet(4, cfg, rngs=nnx.Rngs(0))
+        x = jnp.ones((2, 16, 16, 4))
+        cond = {
+            "class": jax.nn.one_hot(jnp.array([1, 5]), 10),
+            "text": jnp.ones((2, 7, 24)),
+            "image": jnp.ones((2, 64, 64, 18)),
+        }
+        out = model(x, jnp.array([1, 2]), cond)
+        assert out.shape == x.shape
+
+    def test_missing_cond_raises(self):
+        cfg = dict(TINY_UNET, condition_config=COND_CFG)
+        model = Unet(4, cfg, rngs=nnx.Rngs(0))
+        with pytest.raises(AssertionError):
+            model(jnp.ones((1, 16, 16, 4)), jnp.array([0]))
+
+    def test_jit_forward(self):
+        model = Unet(4, TINY_UNET, rngs=nnx.Rngs(0))
+
+        @nnx.jit
+        def f(m, x, t):
+            return m(x, t)
+
+        out = f(model, jnp.ones((1, 16, 16, 4)), jnp.array([0]))
+        assert out.shape == (1, 16, 16, 4)
+
+
+class TestDIT:
+    def test_unconditional_forward(self):
+        model = DIT(4, TINY_DIT, rngs=nnx.Rngs(0))
+        x = jnp.ones((2, 16, 16, 4))
+        out = model(x, jnp.array([3, 7]))
+        assert out.shape == x.shape
+
+    def test_zero_init_gives_zero_output_shift(self):
+        # proj_out is zero-init, so the raw output must be exactly zero
+        model = DIT(4, TINY_DIT, rngs=nnx.Rngs(0))
+        out = model(jnp.ones((1, 16, 16, 4)), jnp.array([5]))
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_mask_and_class_and_text_conditioning(self):
+        cfg = dict(TINY_DIT, condition_config=COND_CFG)
+        model = DIT(4, cfg, rngs=nnx.Rngs(0))
+        x = jnp.ones((2, 16, 16, 4))
+        cond = {
+            "class": jax.nn.one_hot(jnp.array([0, 3]), 10),
+            "text": jnp.ones((2, 7, 24)),
+            "image": jnp.ones((2, 64, 64, 18)),
+        }
+        out = model(x, jnp.array([1, 2]), cond)
+        assert out.shape == x.shape
+
+    def test_patchify_unpatchify_inverse(self):
+        from stablediffusion_pytorch_tpu.models.dit import PatchEmbedding
+
+        pe = PatchEmbedding(4, 2, 2, 32, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        out = pe(x)
+        assert out.shape == (1, 16, 32)
+
+
+class TestDiscriminator:
+    def test_patch_logits_grid(self):
+        model = Discriminator(3, rngs=nnx.Rngs(0))
+        x = jnp.ones((2, 64, 64, 3))
+        out = model(x)
+        assert out.shape[0] == 2 and out.shape[-1] == 1
+        assert out.shape[1] == 7  # 64 -> 32 -> 16 -> 8 -> 7 (stride 1, pad 1, k 4)
