@@ -1,0 +1,75 @@
+"""Benchmark entry point (driver contract): prints ONE JSON line.
+
+Measures the north-star metric from BASELINE.json — denoise steps/sec/chip
+on the flagship DiT-12L denoiser (mask-conditioned, CelebHQ-256 latent
+shapes: batch 32 x 32x32x4 latents, 512^2 18-channel mask) in bfloat16.
+
+Methodology: K chained denoiser forwards inside ONE jitted lax.scan (the
+same structure as the DDPM/DDIM samplers), timed around a host fetch of the
+final carry. Chaining + fetch is required for honest numbers here: on the
+tunneled axon TPU, per-dispatch latency is tens of ms and block_until_ready
+returns early, so an unchained loop over-reports by >100x (measured during
+round-1 bring-up). The reference publishes no throughput numbers
+(BASELINE.md), so vs_baseline is null until a measured PyTorch baseline
+exists.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.config import presets
+from stablediffusion_pytorch_tpu.models import DIT
+
+BATCH = 32
+SCAN_STEPS = 50
+
+
+def main():
+    cfg = presets.model_dit_12l()
+    model = DIT(4, dict(cfg.dit_model_config), rngs=nnx.Rngs(0),
+                dtype=jnp.bfloat16)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def denoise_chain(state, x, t, mask):
+        m = nnx.merge(graphdef, state)
+
+        def body(carry, _):
+            out = m(carry, t, {"image": mask})
+            # chain the output into the next step (prevents overlap illusions
+            # and mirrors the reverse-diffusion data dependency)
+            return carry + 0.01 * out, None
+
+        x, _ = jax.lax.scan(body, x, None, length=SCAN_STEPS)
+        return x
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH, 32, 32, 4), jnp.bfloat16)
+    t = jnp.full((BATCH,), 500, jnp.int32)
+    mask = jnp.zeros((BATCH, 512, 512, 18), jnp.bfloat16)
+
+    np.asarray(denoise_chain(state, x, t, mask))  # warmup + fetch
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = denoise_chain(state, x, t, mask)
+        np.asarray(out[:1, :1, :1])  # force completion via host fetch
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = SCAN_STEPS * reps / dt
+    print(json.dumps({
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": f"DiT-12L fwd/s (batch {BATCH}, 32x32x4 latents, bf16)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Batching loader with background prefetch and per-host sharding.
+
+The TPU-native replacement for the reference's DataLoader + DistributedSampler
+stack (train_ddpm_cond_celebhq_multi_gpu.py:172-233): each host iterates only
+its shard of the index space (jax.process_index() / process_count()), batches
+are collated to numpy, and a background thread keeps a small prefetch queue
+so host IO overlaps device compute. ``set_epoch``-style reshuffling is the
+``seed + epoch`` argument of ``__iter__`` (reference: DistributedSampler
+set_epoch, :286-288).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+
+def _collate(items: List[Any]):
+    """Stack samples; dict conditions stacked per key; int classes -> array."""
+    first = items[0]
+    if isinstance(first, tuple):
+        ims = np.stack([it[0] for it in items])
+        cond: Dict[str, Any] = {}
+        for key in first[1]:
+            vals = [it[1][key] for it in items]
+            if isinstance(vals[0], str):
+                cond[key] = list(vals)
+            else:
+                cond[key] = np.stack([np.asarray(v) for v in vals])
+        return ims, cond
+    return np.stack(items)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 prefetch: int = 2, num_shards: Optional[int] = None,
+                 shard_index: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.num_shards = (jax.process_count() if num_shards is None
+                           else num_shards)
+        self.shard_index = (jax.process_index() if shard_index is None
+                            else shard_index)
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self, epoch: int) -> List[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_index::self.num_shards]
+        batches = []
+        for s in range(0, len(idx), self.batch_size):
+            b = idx[s:s + self.batch_size]
+            if self.drop_last and len(b) < self.batch_size:
+                break
+            batches.append(b)
+        return batches
+
+    def __iter__(self) -> Iterator:
+        return self.epoch(0)
+
+    def epoch(self, epoch: int) -> Iterator:
+        """Iterate one epoch's batches with background prefetch."""
+        batches = self._index_batches(epoch)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            for b in batches:
+                q.put(_collate([self.dataset[int(i)] for i in b]))
+            q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -9,12 +9,33 @@ grid of real/fake logits.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 
 class _Identity(nnx.Module):
     def __call__(self, x):
         return x
+
+
+class _TrainBatchNorm(nnx.Module):
+    """Stateless train-mode batch norm: normalizes by the current batch's
+    (N, H, W) statistics with learned scale/bias. The reference discriminator
+    only ever runs in training mode (tools/train_vqvae.py never calls
+    .eval() on it), so running averages are dead state — omitting them keeps
+    the GAN train step pure."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5, *,
+                 rngs: nnx.Rngs, dtype=None):
+        self.eps = eps
+        self.scale = nnx.Param(jnp.ones((num_features,)))
+        self.bias = nnx.Param(jnp.zeros((num_features,)))
+
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * self.scale.value + self.bias.value
 
 
 class Discriminator(nnx.Module):
@@ -36,7 +57,7 @@ class Discriminator(nnx.Module):
         ])
         # BatchNorm on all but first and last (discriminator.py:26-31)
         self.norms = nnx.List([
-            nnx.BatchNorm(layers_dim[i + 1], use_running_average=False, **kw)
+            _TrainBatchNorm(layers_dim[i + 1], rngs=rngs)
             if 0 < i < self.num_layers - 1 else _Identity()
             for i in range(self.num_layers)
         ])

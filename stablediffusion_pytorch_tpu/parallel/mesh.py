@@ -1,0 +1,57 @@
+"""Mesh + sharding utilities: the TPU-native replacement for the reference's
+torch.distributed DDP layer.
+
+The reference does data parallelism only (SURVEY.md §2.7): DDP with
+per-process NCCL ranks, DistributedSampler, explicit loss all_reduce
+(train_ddpm_cond_celebhq_multi_gpu.py:257-263, 380-388, 439-466). Here the
+whole of that machinery is: a 1-D ``Mesh(('data',))`` over all chips, batch
+arrays sharded on the 'data' axis, parameters replicated, and ``jit``
+inserting the gradient all-reduce automatically. Multi-host runs call
+``jax.distributed.initialize`` before ``make_mesh``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices (all by
+    default). Multi-axis meshes (e.g. ('data', 'model')) are supported for
+    forward-compatibility; the reference workloads only need 'data'."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(axis_names) == 1:
+        dev_array = np.asarray(devices)
+    else:
+        raise NotImplementedError(
+            "multi-axis meshes: pass a pre-shaped device array to jax.sharding.Mesh directly")
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis on 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated (params, opt state, schedules)."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,6 @@
+"""Training layer: EMA, LDM trainer, VQVAE GAN trainer, run artifacts,
+checkpointing."""
+
+from stablediffusion_pytorch_tpu.training.ema import ema_update, EmaParams
+from stablediffusion_pytorch_tpu.training.ldm import LdmTrainer
+from stablediffusion_pytorch_tpu.training.vqvae import VqvaeTrainer

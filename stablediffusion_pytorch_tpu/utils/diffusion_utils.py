@@ -1,0 +1,80 @@
+"""Classifier-free-guidance training dropout + precomputed-latent loading.
+
+Re-implements reference utils/diffusion_utils.py:7-46 with explicit PRNG
+keys (jit-safe; drop probabilities are static floats, 0 disables the draw):
+
+  * drop_text_condition  — per-sample Bernoulli(p) replaces rows with the
+    empty-string embedding
+  * drop_image_condition — per-sample keep-mask multiply (zeroed mask)
+  * drop_class_condition — per-sample keep-mask multiply on the one-hot
+  * load_latents         — merge '<dir>/*.pkl' shard dicts {path: latent}
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_latents(latent_path: str) -> Dict[str, np.ndarray]:
+    """Merge pickled latent shards written by the latent-precompute tools
+    (reference: utils/diffusion_utils.py:7-18; shards written by
+    tools/infer_vqvae.py:85-111 / gen_vqvae_latents.py:80-107)."""
+    latent_maps: Dict[str, np.ndarray] = {}
+    for fname in glob.glob(os.path.join(latent_path, "*.pkl")):
+        with open(fname, "rb") as f:
+            s = pickle.load(f)
+        for k, v in s.items():
+            latent_maps[k] = np.asarray(v[0] if hasattr(v, "__getitem__") and
+                                        getattr(v, "ndim", 0) == 4 else v)
+    return latent_maps
+
+
+def drop_text_condition(text_embed: jax.Array, key: jax.Array,
+                        empty_text_embed: jax.Array,
+                        text_drop_prob: float) -> jax.Array:
+    """Replace dropped rows with the empty-string embedding.
+
+    Reference: diffusion_utils.py:21-28 (mask = U(0,1) < p).
+    """
+    if text_drop_prob <= 0:
+        return text_embed
+    assert empty_text_embed is not None, (
+        "Text Conditioning required as well as text dropping but empty text "
+        "representation not created")
+    b = text_embed.shape[0]
+    drop = jax.random.uniform(key, (b,)) < text_drop_prob
+    empty = jnp.broadcast_to(empty_text_embed[0][None], text_embed.shape)
+    return jnp.where(drop[:, None, None], empty.astype(text_embed.dtype), text_embed)
+
+
+def drop_image_condition(image_condition: jax.Array, key: jax.Array,
+                         im_drop_prob: float) -> jax.Array:
+    """Zero the mask condition per sample with probability p (NHWC).
+
+    Reference: diffusion_utils.py:31-37 (keep-mask = U(0,1) > p).
+    """
+    if im_drop_prob <= 0:
+        return image_condition
+    b = image_condition.shape[0]
+    keep = jax.random.uniform(key, (b, 1, 1, 1)) > im_drop_prob
+    return image_condition * keep.astype(image_condition.dtype)
+
+
+def drop_class_condition(class_condition: jax.Array, key: jax.Array,
+                         class_drop_prob: float) -> jax.Array:
+    """Zero the one-hot class per sample with probability p.
+
+    Reference: diffusion_utils.py:40-46.
+    """
+    if class_drop_prob <= 0:
+        return class_condition
+    b = class_condition.shape[0]
+    keep = jax.random.uniform(key, (b, 1)) > class_drop_prob
+    return class_condition * keep.astype(class_condition.dtype)
