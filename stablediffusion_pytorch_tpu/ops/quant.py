@@ -100,8 +100,12 @@ def _lsq_core(
         data_quantized = data_quantized * step_size
         quant_scale = jnp.asarray(1.0, data_float.dtype)
     else:
-        # keep the step-size gradient alive while returning integer levels
-        data_quantized = data_quantized * step_size / jax.lax.stop_gradient(step_size)
+        # keep the step-size gradient alive while returning integer levels;
+        # the (s / stop_grad(s)) grouping is exactly 1.0 in IEEE float, so
+        # the forward stays bit-exact integer (a left-associated q*s/s
+        # yields 54.9999... which breaks the downstream trunc in bit_split)
+        data_quantized = data_quantized * (
+            step_size / jax.lax.stop_gradient(step_size))
     return data_quantized, quant_scale
 
 

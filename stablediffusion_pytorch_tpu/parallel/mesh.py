@@ -35,6 +35,17 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def make_mesh_for_batch(batch_size: int,
+                        axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """1-D data mesh over the largest device count that divides
+    ``batch_size`` (XLA sharding requires divisibility); tiny debug batches
+    then simply use fewer chips."""
+    n = len(jax.devices())
+    use = next(d for d in range(min(n, batch_size), 0, -1)
+               if batch_size % d == 0)
+    return make_mesh(use, axis_names)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis on 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

@@ -1,0 +1,163 @@
+"""Conditional (and unconditional) latent-DDPM training CLI.
+
+Usage: ``python -m stablediffusion_pytorch_tpu.tools.train_ddpm_cond
+--config celebhq_text_image_cond [--epochs N]``
+
+Re-implements reference tools/train_ddpm_cond.py:19-218 (and the
+unconditional tools/train_ddpm_vqvae.py, which is the same loop minus the
+condition handling — run with a config that has no condition_config):
+scheduler + text encoder + cached empty-text embedding, precomputed-latent
+dataset, per-batch text->embedding + CFG dropout, q-sample + denoiser + MSE.
+Adds the flagship trainer's production features (EMA, bf16, grad clip,
+non-finite skip, data-parallel sharding) from
+train_ddpm_cond_celebhq_multi_gpu.py via LdmTrainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusion_pytorch_tpu.data import DataLoader
+from stablediffusion_pytorch_tpu.data.text import (
+    get_text_representation, get_tokenizer_and_model,
+)
+from stablediffusion_pytorch_tpu.parallel import make_mesh_for_batch, shard_batch
+from stablediffusion_pytorch_tpu.schedulers import make_compvis_linear_schedule
+from stablediffusion_pytorch_tpu.tools.common import (
+    build_dataset, build_denoiser, build_vqvae, latent_hw, load_config,
+    seed_everything,
+)
+from stablediffusion_pytorch_tpu.training import LdmTrainer
+from stablediffusion_pytorch_tpu.training.checkpoint import (
+    load_model, save_train_checkpoint,
+)
+from stablediffusion_pytorch_tpu.utils.train_utils import (
+    create_run_artifacts, persist_loss_history, save_config_snapshot_json,
+)
+
+log = logging.getLogger("sdtpu")
+
+
+def prepare_cond_batch(cond_np, condition_types, tokenizer, text_model,
+                       num_classes=None):
+    """Host-side condition prep: text -> CLIP embedding (no-grad), class ->
+    one-hot; masks pass through (reference: train_ddpm_cond.py:150-190)."""
+    cond = {}
+    if "text" in condition_types:
+        cond["text"] = get_text_representation(cond_np["text"], tokenizer,
+                                               text_model)
+    if "image" in condition_types:
+        cond["image"] = jnp.asarray(cond_np["image"])
+    if "class" in condition_types:
+        cond["class"] = jax.nn.one_hot(jnp.asarray(cond_np["class"]),
+                                       num_classes)
+    return cond
+
+
+def train(args):
+    cfg = load_config(args.config)
+    tc = dict(cfg.train_params)
+    dp = dict(cfg.diffusion_params)
+    key = seed_everything(tc.get("seed", 1111))
+
+    arts = create_run_artifacts(args.output_root, tc["task_name"])
+    save_config_snapshot_json(arts["run_dir"], cfg)
+
+    sched = make_compvis_linear_schedule(dp["num_timesteps"],
+                                         dp["beta_start"], dp["beta_end"])
+
+    condition_config = dict(cfg.ldm_params).get("condition_config")
+    condition_types = (condition_config or {}).get("condition_types", [])
+
+    tokenizer = text_model = empty_text_embed = None
+    num_classes = None
+    if "text" in condition_types:
+        ttype = condition_config["text_condition_config"].get(
+            "text_embed_model", "clip")
+        tokenizer, text_model = get_tokenizer_and_model(
+            ttype, weights_path=args.text_weights)
+        empty_text_embed = get_text_representation([""], tokenizer, text_model)
+    if "class" in condition_types:
+        num_classes = condition_config["class_condition_config"]["num_classes"]
+
+    model = build_denoiser(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
+    trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
+                         condition_config=condition_config,
+                         empty_text_embed=empty_text_embed)
+
+    latent_dir = os.path.join(args.latent_root or args.output_root,
+                              tc["task_name"], tc["vqvae_latent_dir_name"])
+    ds = build_dataset(cfg, use_latents=True, latent_path=latent_dir,
+                       condition_config=condition_config)
+    if not ds.use_latents:
+        log.warning("latents not found at %s — encoding on the fly via "
+                    "VQVAE (slower); run infer_vqvae --save-latents first",
+                    latent_dir)
+        vqvae = build_vqvae(cfg)
+        if args.vqvae_ckpt:
+            load_model(args.vqvae_ckpt, vqvae)
+    else:
+        vqvae = None
+
+    mesh = make_mesh_for_batch(tc["ldm_batch_size"])
+    dl = DataLoader(ds, batch_size=tc["ldm_batch_size"],
+                    seed=tc.get("seed", 1111))
+
+    num_epochs = args.epochs or tc["ldm_epochs"]
+    save_every = tc.get("ldm_save_every_epochs", 1)
+    all_losses, boundaries = [], []
+
+    for epoch in range(num_epochs):
+        epoch_losses = []
+        for batch in dl.epoch(epoch):
+            im, cond_np = batch if condition_types else (batch, {})
+            key, k_step, k_enc = jax.random.split(key, 3)
+            if vqvae is not None:
+                z, _ = vqvae.encode(jnp.asarray(im))
+                latents = z
+            else:
+                latents = jnp.asarray(im)
+            cond = prepare_cond_batch(cond_np, condition_types, tokenizer,
+                                      text_model, num_classes)
+            latents = shard_batch(mesh, latents)
+            cond = shard_batch(mesh, cond) if cond else None
+            metrics = trainer.train_step(latents, cond, k_step)
+            epoch_losses.append(metrics["loss"])
+        # single host sync per epoch (reference syncs every step — §5)
+        epoch_np = [float(x) for x in epoch_losses]
+        mean_loss = float(np.mean(epoch_np)) if epoch_np else float("nan")
+        all_losses.extend(epoch_np)
+        boundaries.append(len(all_losses))
+        lr = trainer.end_epoch(mean_loss)
+        log.info("epoch %d | mean loss %.4f | lr %.2e", epoch, mean_loss, lr)
+        if (epoch + 1) % save_every == 0 or epoch == num_epochs - 1:
+            save_train_checkpoint(arts["ckpt_dir"],
+                                  tc.get("ldm_ckpt_name", "ddpm_ckpt"),
+                                  epoch, model, trainer.ema_params)
+            persist_loss_history(arts["run_dir"], all_losses, boundaries)
+    log.info("Done Training ...")
+    return arts
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Arguments for ddpm training")
+    parser.add_argument("--config", dest="config",
+                        default="celebhq_text_image_cond")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument("--vqvae-ckpt", default=None)
+    parser.add_argument("--text-weights", default=None)
+    parser.add_argument("--latent-root", default=None)
+    parser.add_argument("--output-root", default="runs")
+    train(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Stage-1 VQVAE training CLI.
+
+Usage: ``python -m stablediffusion_pytorch_tpu.tools.train_vqvae
+--config celebhq [--epochs N] [--noise-scale S]``
+
+Re-implements reference tools/train_vqvae.py:21-196: VQVAE + LPIPS +
+PatchGAN with the composite generator loss, two Adam(0.5, 0.999) optimizers,
+disc_start gating, gradient accumulation, periodic recon grids, per-epoch
+checkpoint saves. ``--noise-scale`` activates the vqvae_noise regime
+(train_vqvae_celebhq_noise.py:255-483 trains a sweep of noise scales; here
+one scale per invocation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.data import DataLoader
+from stablediffusion_pytorch_tpu.models import Discriminator
+from stablediffusion_pytorch_tpu.models.lpips import load_lpips
+from stablediffusion_pytorch_tpu.tools.common import (
+    build_dataset, build_vqvae, load_config, seed_everything,
+)
+from stablediffusion_pytorch_tpu.training import VqvaeTrainer
+from stablediffusion_pytorch_tpu.training.checkpoint import save_model
+from stablediffusion_pytorch_tpu.utils.image_utils import save_image_grid
+from stablediffusion_pytorch_tpu.utils.train_utils import (
+    create_run_artifacts, persist_loss_history, save_config_snapshot_json,
+)
+
+log = logging.getLogger("sdtpu")
+
+
+def train(args):
+    cfg = load_config(args.config)
+    tc = dict(cfg.train_params)
+    key = seed_everything(tc.get("seed", 1111))
+
+    arts = create_run_artifacts(args.output_root, tc["task_name"])
+    save_config_snapshot_json(arts["run_dir"], cfg)
+
+    model = build_vqvae(cfg)
+    disc = Discriminator(cfg.dataset_params["im_channels"], rngs=nnx.Rngs(1))
+    lpips = None
+    if float(tc.get("perceptual_weight", 0)) > 0:
+        lpips = load_lpips(args.lpips_weights)
+
+    trainer = VqvaeTrainer(model, disc, lpips, tc,
+                           noise_scale=args.noise_scale)
+
+    ds = build_dataset(cfg)
+    dl = DataLoader(ds, batch_size=tc["autoencoder_batch_size"],
+                    seed=tc.get("seed", 1111))
+
+    num_epochs = args.epochs or tc["autoencoder_epochs"]
+    image_save_steps = tc.get("autoencoder_img_save_steps", 64)
+    all_losses = []
+    step = 0
+    img_save_count = 0
+
+    for epoch in range(num_epochs):
+        epoch_metrics = []
+        for im in dl.epoch(epoch):
+            key, k_step = jax.random.split(key)
+            metrics = trainer.train_step(im, k_step)
+            step += 1
+            if step % args.log_every == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                epoch_metrics.append(m)
+                all_losses.append(m["g_loss"])
+                log.info("epoch %d step %d | g %.4f recon %.4f lpips %.4f "
+                         "codebook %.4f d %.4f", epoch, step, m["g_loss"],
+                         m["recon_loss"], m["perceptual_loss"],
+                         m["codebook_loss"], m["d_loss"])
+            if step % image_save_steps == 0 or step == 1:
+                out, _, _ = trainer.model(im[:8])
+                grid = list(np.asarray(im[:8])) + list(np.asarray(out))
+                save_image_grid(
+                    os.path.join(arts["run_dir"], "vqvae_autoencoder_samples",
+                                 f"current_autoencoder_sample_{img_save_count}.png"),
+                    grid, nrow=min(8, im.shape[0]))
+                img_save_count += 1
+        save_model(os.path.join(arts["ckpt_dir"],
+                                tc["vqvae_autoencoder_ckpt_name"]), model)
+        save_model(os.path.join(arts["ckpt_dir"],
+                                tc["vqvae_discriminator_ckpt_name"]), disc)
+        persist_loss_history(arts["run_dir"], all_losses)
+    log.info("Done Training...")
+    return arts
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Arguments for vq vae training")
+    parser.add_argument("--config", dest="config", default="celebhq")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--noise-scale", type=float, default=0.0)
+    parser.add_argument("--lpips-weights", default=None)
+    parser.add_argument("--output-root", default="runs")
+    parser.add_argument("--log-every", type=int, default=1)
+    train(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

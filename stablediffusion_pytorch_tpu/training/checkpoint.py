@@ -30,8 +30,18 @@ def save_state(path: str, state: Any) -> None:
 
 
 def load_state(path: str, like: Any) -> Any:
-    """Restore a pytree with the structure/dtypes of ``like``."""
-    return _ckptr().restore(os.path.abspath(path), item=like)
+    """Restore a pytree with the structure of ``like``.
+
+    Leaves come back as host numpy arrays (topology-independent — a
+    checkpoint written on TPU restores on the CPU mesh and vice versa);
+    device placement happens when the caller puts them into a module/jit.
+    """
+    import numpy as np
+
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), like)
+    return _ckptr().restore(os.path.abspath(path), item=like,
+                            restore_args=restore_args)
 
 
 def save_model(path: str, model: nnx.Module) -> None:
