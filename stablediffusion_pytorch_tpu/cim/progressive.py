@@ -75,6 +75,13 @@ def _walk(module: nnx.Module, prefix: str = ""):
                     yield from _walk(item, path + ".")
 
 
+def _is_adapter_internal(path: str) -> bool:
+    """True for modules living INSIDE an enhance adapter other than the
+    wrapped original layer (branch1/branch2/fc1 stay digital/unwrapped)."""
+    parts = path.split(".")
+    return any(p in ("branch1", "branch2", "fc1") for p in parts)
+
+
 def _set_child(parent, key, value):
     if isinstance(parent, (nnx.List, nnx.Dict)):
         parent[key] = value
@@ -247,10 +254,25 @@ class ProgressiveTrain:
         conv_cls, linear_cls = reg.resolve(tar_layer_type)
         converted = 0
         seed = 0
+        # enhance adapters are digital-compute: never quantize their insides
+        # (reference: register_dict.py digital_compute_layers)
+        enhance_roots = [p for p, _, _, m in _walk(self.model)
+                         if getattr(m, "layer_flag", None) in
+                         ("enhance_layer", "enhance_branch")]
+        skip_paths = tuple(skip_paths) + tuple(
+            r + "." for r in enhance_roots)
         for path, parent, key, m in list(_walk(self.model)):
             if not isinstance(m, tuple(convert_layer_type_list)):
                 continue
-            if any(path.startswith(sp) for sp in skip_paths):
+            skipped = any(path.startswith(sp) for sp in skip_paths)
+            # the wrapped layer inside an enhance adapter IS convertible
+            # (pipeline converts quant layers before/after adapter insertion)
+            if skipped and (".original_conv" in path or
+                            ".original_linear" in path or
+                            path.endswith("original_conv") or
+                            path.endswith("original_linear")):
+                skipped = False
+            if skipped:
                 continue
             src_quant = isinstance(m, QuantState)
             if isinstance(m, (nnx.Conv, _QuantConvBase)):
@@ -273,6 +295,61 @@ class ProgressiveTrain:
         log.info("convert_to_layers -> %s: %d layers", tar_layer_type,
                  converted)
         return converted
+
+    def add_enhance_layers(self, ops_factor: float = 0.05,
+                           target_types=None) -> int:
+        """Wrap each conv/linear with a serial identity-init grouped-1x1
+        enhance adapter (reference: add_enhance_layers, layers_enhance.py
+        :368-436; harness call progressive_qn_train.py:543-546)."""
+        from stablediffusion_pytorch_tpu.cim.enhance import (
+            EnhanceLayerConv, EnhanceLayerLinear, is_enhance_module,
+        )
+
+        target_types = target_types or (
+            reg.nn_layers + reg.custom_layers)
+        n = 0
+        for path, parent, key, m in list(_walk(self.model)):
+            if is_enhance_module(m) or _is_adapter_internal(path):
+                continue
+            if isinstance(m, (nnx.Conv, _QuantConvBase)) and \
+                    isinstance(m, tuple(target_types)):
+                _set_child(parent, key, EnhanceLayerConv(m, ops_factor))
+                n += 1
+            elif isinstance(m, (nnx.Linear, _QuantLinearBase)) and \
+                    isinstance(m, tuple(target_types)):
+                _set_child(parent, key, EnhanceLayerLinear(m, ops_factor))
+                n += 1
+        log.info("add_enhance_layers(%.3f): %d adapters", ops_factor, n)
+        return n
+
+    def add_enhance_branch_LoR(self, ops_factor: float = 0.05,
+                               relu: bool = False, sigmoid: bool = True,
+                               target_types=None) -> int:
+        """Add parallel grouped-LoRA branches with learned sigmoid blend
+        (reference: add_enhance_branch_LoR, layers_enhance.py:439-533)."""
+        from stablediffusion_pytorch_tpu.cim.enhance import (
+            EnhanceBranchConvLoR, EnhanceBranchLinearLoR, is_enhance_module,
+        )
+
+        target_types = target_types or (reg.nn_layers + reg.custom_layers)
+        n = 0
+        for path, parent, key, m in list(_walk(self.model)):
+            if is_enhance_module(m) or _is_adapter_internal(path) or \
+                    ".original_" in path:
+                continue
+            if isinstance(m, (nnx.Conv, _QuantConvBase)) and \
+                    isinstance(m, tuple(target_types)):
+                _set_child(parent, key,
+                           EnhanceBranchConvLoR(m, ops_factor, relu, sigmoid))
+                n += 1
+            elif isinstance(m, (nnx.Linear, _QuantLinearBase)) and \
+                    isinstance(m, tuple(target_types)):
+                _set_child(parent, key,
+                           EnhanceBranchLinearLoR(m, ops_factor, relu,
+                                                  sigmoid))
+                n += 1
+        log.info("add_enhance_branch_LoR(%.3f): %d branches", ops_factor, n)
+        return n
 
     def revert_to_nn_layer(self) -> int:
         """Swap every quant layer back to a plain nnx.Conv/nnx.Linear
