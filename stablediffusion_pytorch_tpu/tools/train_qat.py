@@ -1,0 +1,272 @@
+"""Progressive QAT training CLI — the Model_{Unet,DiT_9L,DiT_12L}_train
+pipeline: FP -> LSQ -> AnDi -> ADDA stages with enhance adapters and
+weight-array mapping.
+
+Usage: ``python -m stablediffusion_pytorch_tpu.tools.train_qat
+--model dit_12l --stages FP,LSQ,LSQ_AnDi,LSQ_ADDA [--epochs-per-cycle N]``
+
+Re-implements the reference pipeline (_run_training_pipeline,
+Model_DiT_12L_train.py:493-568 and the DiT-9L ADDA tail,
+Model_DiT_9L_train.py:577-626):
+
+  FP        train the float denoiser (LdmTrainer)
+  LSQ       convert_to_layers(nn_layers -> layers_qn_lsq) + progressive
+            bit/noise schedule from andi_config qn_* ranges
+  LSQ_AnDi  add_enhance_branch_LoR + add_enhance_layers, then progressive
+            schedule from qna_* ranges (analog-noise robustness)
+  LSQ_ADDA  convert_to_layers(custom -> layers_qn_lsq_adda_cim,
+            adc_k=9.071 'current' mode) + map_weight_for_model(TC05
+            576x2048) + progressive adda_* schedule with PercentOptimizerFP
+
+Each stage checkpoints under ``<run>/<stage>/w{bits}b_{noise}/`` like the
+reference's nested run dirs (Model_DiT_12L_train.py:59-62).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.cim import (
+    ProgressiveTrain, calibrate_quant_layers,
+)
+from stablediffusion_pytorch_tpu.cim import registry as reg_dict
+from stablediffusion_pytorch_tpu.cim.optimizers import percent_adam
+from stablediffusion_pytorch_tpu.cim.weight_mapper import map_weight_for_model
+from stablediffusion_pytorch_tpu.config import andi_config as andi_cfg
+from stablediffusion_pytorch_tpu.config import presets
+from stablediffusion_pytorch_tpu.models import DIT, Unet
+from stablediffusion_pytorch_tpu.schedulers import make_compvis_linear_schedule
+from stablediffusion_pytorch_tpu.training import LdmTrainer
+from stablediffusion_pytorch_tpu.training.checkpoint import (
+    load_model, save_model,
+)
+from stablediffusion_pytorch_tpu.utils.train_utils import create_run_artifacts
+
+log = logging.getLogger("sdtpu")
+
+MODEL_PRESETS = {
+    "unet": presets.model_unet,
+    "dit_9l": presets.model_dit_9l,
+    "dit_12l": presets.model_dit_12l,
+}
+
+
+class LdmAndiTrainer(ProgressiveTrain):
+    """The reference's ``LDM_AnDi(ProgressiveTrain)``: train_model runs the
+    LDM epoch loop at the current quantization state
+    (Model_DiT_12L_train.py:113-454)."""
+
+    def __init__(self, model, cfg, args, data_iter_fn):
+        super().__init__(model)
+        self.cfg = cfg
+        self.args = args
+        self.data_iter_fn = data_iter_fn
+        self.sched = make_compvis_linear_schedule(
+            cfg.diffusion_params["num_timesteps"],
+            cfg.diffusion_params["beta_start"],
+            cfg.diffusion_params["beta_end"])
+        self.stage = "FP"
+        self.run_dir = None
+        self.key = jax.random.PRNGKey(cfg.train_params.get("seed", 1111))
+        self._calibrated = False
+
+    def train_model(self, cycle: int = 0, epochs: Optional[int] = None,
+                    **_) -> float:
+        """One stage-cycle of LDM training; returns mean loss."""
+        epochs = epochs or self.args.epochs_per_cycle
+        if not self._calibrated and self.customized_layers():
+            batch = next(self.data_iter_fn())
+            lat, cond = batch
+            calibrate_quant_layers(
+                self.model,
+                lambda m: m(lat, jnp.zeros((lat.shape[0],), jnp.int32), cond))
+            self._calibrated = True
+
+        # fresh trainer per cycle: static quant attrs changed => recompile
+        use_percent = self.stage == "LSQ_ADDA"
+        trainer = LdmTrainer(self.model, self.sched,
+                             lr=self.cfg.train_params["ldm_lr"])
+        if use_percent:  # DiT-9L uses PercentOptimizerFP (reference: :266)
+            trainer.optimizer = nnx.Optimizer(
+                self.model, percent_adam(lr=self.cfg.train_params["ldm_lr"]),
+                wrt=nnx.Param)
+        losses = []
+        for _ in range(epochs):
+            for lat, cond in self.data_iter_fn():
+                self.key, k = jax.random.split(self.key)
+                m = trainer.train_step(lat, cond, k)
+                losses.append(m["loss"])
+        mean_loss = float(np.mean([float(v) for v in losses])) if losses else float("nan")
+        log.info("stage %s cycle %d: mean loss %.4f over %d steps",
+                 self.stage, cycle, mean_loss, len(losses))
+        if self.run_dir:
+            lyr = self.customized_layers()
+            wb = lyr[0][1].weight_bit if lyr else "fp"
+            ns = lyr[0][1].noise_scale if lyr else 0.0
+            ckpt_dir = os.path.join(self.run_dir, self.stage,
+                                    f"w{wb}b_{ns:.3f}" if lyr else "fp")
+            save_model(os.path.join(ckpt_dir, "ddpm_ckpt"), self.model)
+        return mean_loss
+
+
+def run_pipeline(args, data_iter_fn, cfg=None):
+    """Programmatic entry: data_iter_fn() yields (latents, cond) batches."""
+    cfg = cfg or MODEL_PRESETS[args.model]()
+    z = cfg.autoencoder_params["z_channels"]
+    if "dit_model_config" in cfg:
+        model = DIT(z, dict(cfg.dit_model_config), rngs=nnx.Rngs(0))
+    else:
+        model = Unet(z, dict(cfg.diffusion_model_config), rngs=nnx.Rngs(0))
+
+    trainer = LdmAndiTrainer(model, cfg, args, data_iter_fn)
+    arts = create_run_artifacts(args.output_root,
+                                cfg.train_params["task_name"])
+    trainer.run_dir = arts["run_dir"]
+    stages = [s.strip() for s in args.stages.split(",")]
+
+    if args.resume:
+        load_model(args.resume, model)
+
+    if "FP" in stages:
+        trainer.stage = "FP"
+        trainer.train_model(cycle=0)
+
+    if "LSQ" in stages:
+        trainer.stage = "LSQ"
+        trainer.convert_to_layers(
+            list(reg_dict.nn_layers), "layers_qn_lsq",
+            noise_scale=andi_cfg.qn_noise_range[0],
+            input_bit=andi_cfg.qn_feature_bit_range[0],
+            output_bit=andi_cfg.qn_feature_bit_range[0],
+            weight_bit=andi_cfg.qn_weight_bit_range[0])
+        trainer._calibrated = False
+        trainer.progressive_train(
+            qn_cycle=args.cycles or andi_cfg.qn_cycle,
+            weight_bit_range=andi_cfg.qn_weight_bit_range,
+            input_bit_range=andi_cfg.qn_feature_bit_range,
+            output_bit_range=andi_cfg.qn_feature_bit_range,
+            noise_scale_range=andi_cfg.qn_noise_range)
+
+    if "LSQ_AnDi" in stages:
+        trainer.stage = "LSQ_AnDi"
+        if "LSQ" not in stages:  # fresh conversion when starting here
+            trainer.convert_to_layers(
+                list(reg_dict.nn_layers), "layers_qn_lsq",
+                noise_scale=andi_cfg.qna_noise_range[0],
+                input_bit=andi_cfg.qna_feature_bit_range[0],
+                output_bit=andi_cfg.qna_feature_bit_range[0],
+                weight_bit=andi_cfg.qna_weight_bit_range[0])
+        trainer.add_enhance_branch_LoR(ops_factor=args.enhance_ops_factor)
+        trainer.add_enhance_layers(ops_factor=args.enhance_ops_factor)
+        trainer._calibrated = False
+        trainer.progressive_train(
+            qn_cycle=args.cycles or andi_cfg.qna_cycle,
+            weight_bit_range=andi_cfg.qna_weight_bit_range,
+            input_bit_range=andi_cfg.qna_feature_bit_range,
+            output_bit_range=andi_cfg.qna_feature_bit_range,
+            noise_scale_range=andi_cfg.qna_noise_range)
+
+    if "LSQ_ADDA" in stages:
+        trainer.stage = "LSQ_ADDA"
+        trainer.convert_to_layers(
+            list(reg_dict.custom_layers), "layers_qn_lsq_adda_cim",
+            noise_scale=andi_cfg.adda_noise_range[0],
+            input_bit=andi_cfg.adda_input_bit_range[0],
+            output_bit=andi_cfg.adda_output_bit_range[0],
+            weight_bit=andi_cfg.adda_weight_bit_range[0],
+            dac_bit=andi_cfg.adda_dac_bit_range[0],
+            adc_bit=andi_cfg.adda_adc_bit_range[0],
+            adc_k=9.071428571,  # TC05 adc_gain_1_scale (DiT-9L :594)
+            array_size=tuple(args.array_size))
+        for _, m in trainer.customized_layers():
+            m.adc_adjust_mode = "current"  # gain fixed at 8-bit ADC
+            m.adc_gain_min = 1 / 64
+            m.adc_gain_max = 1 / 64
+        map_weight_for_model(model, array_size=tuple(args.array_size),
+                             array_device_name=args.array_device)
+        trainer._calibrated = False
+        trainer.progressive_train(
+            qn_cycle=args.cycles or andi_cfg.adda_cycle,
+            weight_bit_range=andi_cfg.adda_weight_bit_range,
+            input_bit_range=andi_cfg.adda_input_bit_range,
+            output_bit_range=andi_cfg.adda_output_bit_range,
+            noise_scale_range=andi_cfg.adda_noise_range,
+            dac_bit_range=andi_cfg.adda_dac_bit_range,
+            adc_bit_range=andi_cfg.adda_adc_bit_range)
+
+    return trainer, arts
+
+
+def _synthetic_data_iter(cfg, batch_size, n_batches=2):
+    """Synthetic latents/conds for smoke runs without a dataset."""
+    z = cfg.autoencoder_params["z_channels"]
+    cc = dict(cfg.get("condition_config") or {})
+    cond_types = cc.get("condition_types", [])
+    icc = cc.get("image_condition_config", {})
+    mh = icc.get("image_condition_h", 512)
+    mw = icc.get("image_condition_w", 512)
+    mch = icc.get("image_condition_input_channels", 18)
+
+    def it():
+        key = jax.random.PRNGKey(0)
+        for i in range(n_batches):
+            lat = jax.random.normal(jax.random.fold_in(key, i),
+                                    (batch_size, 32, 32, z))
+            cond = {}
+            if "image" in cond_types:
+                cond["image"] = jnp.zeros((batch_size, mh, mw, mch))
+            if "text" in cond_types:
+                cond["text"] = jnp.zeros((batch_size, 77, 512))
+            yield lat, cond
+
+    return it
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Progressive QAT pipeline")
+    parser.add_argument("--model", choices=sorted(MODEL_PRESETS),
+                        default="dit_12l")
+    parser.add_argument("--stages", default="LSQ,LSQ_AnDi,LSQ_ADDA")
+    parser.add_argument("--cycles", type=int, default=None,
+                        help="override per-stage cycle count")
+    parser.add_argument("--epochs-per-cycle", type=int, default=1)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--enhance-ops-factor", type=float, default=0.05)
+    parser.add_argument("--array-size", type=int, nargs=2,
+                        default=[576, 2048])
+    parser.add_argument("--array-device", default="TC05")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--synthetic-data", action="store_true",
+                        help="use synthetic latents (smoke runs)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="shrink the model (pipeline smoke tests)")
+    parser.add_argument("--output-root", default="runs_qat")
+    args = parser.parse_args()
+
+    cfg = MODEL_PRESETS[args.model]()
+    if args.tiny:
+        if "dit_model_config" in cfg:
+            cfg["dit_model_config"].update(hidden_size=32, num_layers=2,
+                                           num_heads=4, head_dim=8,
+                                           timestep_emb_dim=16)
+        cfg["condition_config"]["image_condition_config"].update(
+            image_condition_h=64, image_condition_w=64)
+    if args.synthetic_data:
+        data_iter_fn = _synthetic_data_iter(cfg, args.batch_size)
+    else:
+        raise SystemExit("dataset-backed QAT training requires precomputed "
+                         "latents; use --synthetic-data for smoke runs or "
+                         "call run_pipeline() with a data_iter_fn")
+    run_pipeline(args, data_iter_fn, cfg)
+
+
+if __name__ == "__main__":
+    main()
