@@ -33,6 +33,7 @@ LSQ step-size init is data-driven on the first batch in the reference
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -383,6 +384,58 @@ class LinearLsqBitSplit(_QuantLinearBase):
 
 
 # ---------------------------------------------------------------------------
+# fused ADDA MVM: Pallas forward on TPU, jnp(STE) backward
+# ---------------------------------------------------------------------------
+
+def _adda_mvm_jnp(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
+    """Differentiable jnp reference: bit-split -> matmul -> ADC -> concat
+    (the numerics oracle for the Pallas kernel)."""
+    from stablediffusion_pytorch_tpu.ops.bit_ops import bit_split, bit_len_for
+
+    bit_len = bit_len_for(x_bit, slice_bit)
+    m = x_q.shape[0]
+    slices = bit_split(x_q, x_bit, slice_bit).reshape(bit_len, m, -1)
+    partial = jnp.einsum("smk,kn->smn", slices, w_q)
+    adc = round_pass(jnp.clip(partial * adc_scale, -adc_range - 1, adc_range))
+    powv = (2.0 ** (slice_bit * jnp.arange(bit_len,
+                                           dtype=adc.dtype)))[:, None, None]
+    return jnp.sum(adc * powv, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
+    """Fused ADDA matmul (M, K) x (K, N): Pallas kernel on TPU, jnp
+    elsewhere; backward always differentiates the jnp/STE formulation."""
+    if jax.default_backend() == "tpu":
+        from stablediffusion_pytorch_tpu.ops.pallas.cim_mvm import (
+            fused_adda_mvm,
+        )
+        from stablediffusion_pytorch_tpu.ops.bit_ops import bit_len_for
+
+        return fused_adda_mvm(
+            x_q, w_q, adc_scale, x_bit=x_bit,
+            bit_len=bit_len_for(x_bit, slice_bit), slice_bit=slice_bit,
+            adc_range=float(adc_range))
+    return _adda_mvm_jnp(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range)
+
+
+def _adda_mvm_fwd(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
+    return (adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range),
+            (x_q, w_q, adc_scale))
+
+
+def _adda_mvm_bwd(x_bit, slice_bit, adc_range, res, g):
+    x_q, w_q, adc_scale = res
+    _, vjp = jax.vjp(
+        lambda x, w, s: _adda_mvm_jnp(x, w, s, x_bit, slice_bit, adc_range),
+        x_q, w_q, adc_scale)
+    return vjp(g)
+
+
+adda_mvm.defvjp(_adda_mvm_fwd, _adda_mvm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # ADDA: ADC/DAC model without array tiling (layers_qn_lsq_adda.py)
 # ---------------------------------------------------------------------------
 
@@ -502,12 +555,21 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
         x_q, in_scale = self._input_q(x, isint=True)
-        slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w, w_scale = self._weight_q(self.kernel.value, isint=True)
-        out = jnp.einsum("s...i,io->s...o", slices, w)
-        self._maybe_init_adc_gain(out)
-        out = self._adc(out, adc_scale)
-        out = _bit_concat_axis(out, self.slice_bit)
+        if self.calibrating:
+            # calibration needs pre-ADC activations for the gain init
+            slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
+            out = jnp.einsum("s...i,io->s...o", slices, w)
+            self._maybe_init_adc_gain(out)
+            out = self._adc(out, adc_scale)
+            out = _bit_concat_axis(out, self.slice_bit)
+        else:
+            # fused Pallas path (TPU) / jnp path (CPU), STE backward
+            lead = x_q.shape[:-1]
+            flat = x_q.reshape(-1, x_q.shape[-1])
+            out = adda_mvm(flat, w, adc_scale, self.input_bit,
+                           self.slice_bit, self.adc_range)
+            out = out.reshape(lead + (w.shape[1],))
         out = out / w_scale / in_scale / adc_scale
         if self.bias is not None:
             out = out + self.bias.value

