@@ -51,7 +51,9 @@ def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (BATCH, 32, 32, 4), jnp.bfloat16)
     t = jnp.full((BATCH,), 500, jnp.int32)
-    mask = jnp.zeros((BATCH, 512, 512, 18), jnp.bfloat16)
+    # mask pre-resized to latent res (production cond pipeline —
+    # see utils.diffusion_utils.resize_mask_to_latent)
+    mask = jnp.zeros((BATCH, 32, 32, 18), jnp.bfloat16)
 
     np.asarray(denoise_chain(state, x, t, mask))  # warmup + fetch
 

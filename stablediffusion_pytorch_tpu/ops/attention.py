@@ -68,9 +68,11 @@ def _round_up(x: int, m: int) -> int:
 def _use_pallas(nq: int, nk: int, d: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # padding waste guard: tiny head dims pad to 128 lanes; still profitable
-    # for the self-attention shapes (nq >= 64); skip degenerate cases.
-    return nq >= 64 and nk >= 1 and d <= 256
+    # The kernel pads head_dim to 128 lanes, so tiny head dims (UNet 16-48,
+    # DiT 32) waste most of the MXU — measured on v5e, XLA wins ~2x for the
+    # DiT shapes (256 tokens, d=32). Use the Pallas kernel only where the
+    # padding waste is bounded and sequences are long enough to amortize.
+    return d >= 64 and nq >= 512 and nk >= 1 and d <= 256
 
 
 def scaled_dot_product_attention(

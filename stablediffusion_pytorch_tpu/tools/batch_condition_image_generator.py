@@ -120,7 +120,12 @@ def generate(args):
             batch_cond["text"] = emb
             batch_uncond["text"] = jnp.repeat(empty_embed, real, axis=0)
         if "image" in condition_types:
+            from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+                resize_mask_to_latent,
+            )
+
             masks = jnp.asarray(np.stack([c["image"] for c in conds]))
+            masks = resize_mask_to_latent(masks, hw)
             batch_cond["image"] = masks
             batch_uncond["image"] = jnp.zeros_like(masks)
         # pad to full batch for stable compile shapes

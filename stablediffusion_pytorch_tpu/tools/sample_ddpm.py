@@ -97,8 +97,13 @@ def sample(args) -> np.ndarray:
             else:
                 mask = jnp.zeros((1, *mask_hw,
                                   icc["image_condition_input_channels"]))
-            cond["image"] = jnp.repeat(mask, n, axis=0)
-            uncond["image"] = jnp.zeros_like(cond["image"])
+            from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+                resize_mask_to_latent,
+            )
+
+            mask = resize_mask_to_latent(jnp.repeat(mask, n, axis=0), hw)
+            cond["image"] = mask
+            uncond["image"] = jnp.zeros_like(mask)
         if "class" in condition_types:
             num_classes = condition_config["class_condition_config"]["num_classes"]
             cls = args.class_id if args.class_id is not None else 0

@@ -45,15 +45,24 @@ log = logging.getLogger("sdtpu")
 
 
 def prepare_cond_batch(cond_np, condition_types, tokenizer, text_model,
-                       num_classes=None):
+                       num_classes=None, latent_size=None):
     """Host-side condition prep: text -> CLIP embedding (no-grad), class ->
-    one-hot; masks pass through (reference: train_ddpm_cond.py:150-190)."""
+    one-hot; masks pre-resized to latent resolution (2x step time saved,
+    see utils.diffusion_utils.resize_mask_to_latent)
+    (reference: train_ddpm_cond.py:150-190)."""
+    from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+        resize_mask_to_latent,
+    )
+
     cond = {}
     if "text" in condition_types:
         cond["text"] = get_text_representation(cond_np["text"], tokenizer,
                                                text_model)
     if "image" in condition_types:
-        cond["image"] = jnp.asarray(cond_np["image"])
+        mask = jnp.asarray(cond_np["image"])
+        if latent_size:
+            mask = resize_mask_to_latent(mask, latent_size)
+        cond["image"] = mask
     if "class" in condition_types:
         cond["class"] = jax.nn.one_hot(jnp.asarray(cond_np["class"]),
                                        num_classes)
@@ -124,7 +133,8 @@ def train(args):
             else:
                 latents = jnp.asarray(im)
             cond = prepare_cond_batch(cond_np, condition_types, tokenizer,
-                                      text_model, num_classes)
+                                      text_model, num_classes,
+                                      latent_size=latent_hw(cfg))
             latents = shard_batch(mesh, latents)
             cond = shard_batch(mesh, cond) if cond else None
             metrics = trainer.train_step(latents, cond, k_step)

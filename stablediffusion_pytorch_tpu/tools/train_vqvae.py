@@ -95,15 +95,43 @@ def train(args):
     return arts
 
 
+def train_noise_sweep(args):
+    """Noise-robust decoder training: sweep latent-noise scales
+    n_list = linspace(start, end, stages), one training stage per scale
+    (reference: train_vqvae_celebhq_noise.py:255-483 and its DDP variant
+    train_vqvae_celebhq_noise_multi_GPU.py — the mesh-sharded step covers
+    the DDP-GAN parity)."""
+    import numpy as np
+
+    n_list = np.linspace(args.noise_sweep[0], args.noise_sweep[1],
+                         int(args.noise_sweep[2]))
+    results = []
+    for stage, n_scale in enumerate(n_list):
+        log.info("=== noise stage %d/%d: n_scale=%.4f ===",
+                 stage + 1, len(n_list), n_scale)
+        stage_args = argparse.Namespace(**vars(args))
+        stage_args.noise_scale = float(n_scale)
+        stage_args.noise_sweep = None
+        results.append(train(stage_args))
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser(description="Arguments for vq vae training")
     parser.add_argument("--config", dest="config", default="celebhq")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--noise-scale", type=float, default=0.0)
+    parser.add_argument("--noise-sweep", type=float, nargs=3, default=None,
+                        metavar=("START", "END", "STAGES"),
+                        help="latent-noise sweep (vqvae_noise regime)")
     parser.add_argument("--lpips-weights", default=None)
     parser.add_argument("--output-root", default="runs")
     parser.add_argument("--log-every", type=int, default=1)
-    train(parser.parse_args())
+    args = parser.parse_args()
+    if args.noise_sweep:
+        train_noise_sweep(args)
+    else:
+        train(args)
 
 
 if __name__ == "__main__":
