@@ -100,6 +100,15 @@ def model_unet() -> Config:
     return _tc05_base(condition_types=("image",), cond_drop_prob=0.9)
 
 
+def model_unet_wo_attention() -> Config:
+    """Model_Unet_wo_attention experiment: same tc05 UNet with every
+    self-attention disabled (reference: Model_Unet_wo_attention_config.py,
+    attn_down all False)."""
+    cfg = _tc05_base(condition_types=("image",), cond_drop_prob=0.9)
+    cfg["diffusion_model_config"]["attn_down"] = [False, False, False]
+    return cfg
+
+
 def _dit(num_layers: int) -> Config:
     cfg = _tc05_base(condition_types=("image",), cond_drop_prob=0.9)
     cfg["dit_model_config"] = {

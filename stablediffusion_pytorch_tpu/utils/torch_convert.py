@@ -239,6 +239,25 @@ def load_torch_dit(model, state: Dict) -> None:
     log.info("loaded torch DiT checkpoint (%d tensors)", len(state))
 
 
+def migrate_grouped_linear(state: Dict, prefix: str) -> jnp.ndarray:
+    """Collapse per-group ``<prefix>.group_linears.N.weight`` params into
+    the stacked (groups, in_g, out_g) tensor our GroupedLinear uses — the
+    reference's checkpoint migration for its GroupedLinear fast path
+    (weight_convert.py:21-54)."""
+    idx = 0
+    mats = []
+    while f"{prefix}.group_linears.{idx}.weight" in state:
+        w = np.asarray(state[f"{prefix}.group_linears.{idx}.weight"])
+        mats.append(np.transpose(w))  # torch (out_g, in_g) -> (in_g, out_g)
+        idx += 1
+    if not mats:
+        # already-stacked layout: torch GroupedLinear weight
+        # (groups, out_g, in_g) -> (groups, in_g, out_g)
+        w = np.asarray(state[f"{prefix}.weight"])
+        return jnp.asarray(np.transpose(w, (0, 2, 1)))
+    return jnp.asarray(np.stack(mats))
+
+
 def load_torch_checkpoint(model, path: str) -> None:
     """Dispatch by model type; ``path`` is a torch .pth state_dict."""
     import torch
