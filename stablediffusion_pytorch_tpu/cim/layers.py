@@ -100,14 +100,29 @@ class QuantState(nnx.Module):
         return data_quant_lsq(x, self.input_bit, self.step_size_input.value,
                               isint=isint)
 
-    def _weight_q(self, w, isint):
+    def _noise_key(self, x: jax.Array) -> jax.Array:
+        """Fresh key per forward. Uses the layer's stateful RNG stream when
+        the module is threaded through the transform (nnx.jit/nnx.grad —
+        training); inside a closure-captured jitted scan (the samplers) the
+        count can't mutate, so fall back to a stateless key derived from the
+        input data — each denoise step sees different activations, hence
+        fresh noise, and sampling stays reproducible per (seed, input)."""
+        try:
+            return self.noise_rngs.noise()
+        except Exception:
+            h = jnp.sum(jax.lax.stop_gradient(x).astype(jnp.float32))
+            salt = jnp.abs(jnp.nan_to_num(h * 1e4)).astype(jnp.int32)
+            return jax.random.fold_in(jax.random.PRNGKey(self.seed), salt)
+
+    def _weight_q(self, w, isint, noise_key=None):
         w_scale = jnp.asarray(1.0)
         if self.weight_quant:
             self._maybe_calibrate(self.step_size_weight, w, self.weight_bit)
             w, w_scale = weight_quant_lsq(
                 w, self.weight_bit, self.step_size_weight.value, isint=isint)
         if self.noise_scale:
-            w = add_noise(w, self.noise_rngs.noise(), self.noise_scale)
+            key = noise_key if noise_key is not None else self._noise_key(w)
+            w = add_noise(w, key, self.noise_scale)
         return w, w_scale
 
     def _output_q(self, x, isint=False):
@@ -210,7 +225,7 @@ class ConvQn(_QuantConvBase):
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
         if self.noise_scale:
-            w = add_noise(w, self.noise_rngs.noise(), self.noise_scale)
+            w = add_noise(w, self._noise_key(x), self.noise_scale)
         out = _conv(x, w, self.strides, self.padding, self.groups)
         if self.bias is not None:
             out = out + self.bias.value
@@ -235,7 +250,7 @@ class LinearQn(_QuantLinearBase):
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
         if self.noise_scale:
-            w = add_noise(w, self.noise_rngs.noise(), self.noise_scale)
+            w = add_noise(w, self._noise_key(x), self.noise_scale)
         out = x @ w
         if self.bias is not None:
             out = out + self.bias.value
@@ -258,8 +273,9 @@ class ConvQnLsq(_QuantConvBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
+        nk = self._noise_key(x) if self.noise_scale else None
         x, _ = self._input_q(x, isint=False)
-        w, _ = self._weight_q(self.kernel.value, isint=False)
+        w, _ = self._weight_q(self.kernel.value, isint=False, noise_key=nk)
         out = _conv(x, w, self.strides, self.padding, self.groups)
         if self.bias is not None:
             out = out + self.bias.value
@@ -277,8 +293,9 @@ class LinearQnLsq(_QuantLinearBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
+        nk = self._noise_key(x) if self.noise_scale else None
         x, _ = self._input_q(x, isint=False)
-        w, _ = self._weight_q(self.kernel.value, isint=False)
+        w, _ = self._weight_q(self.kernel.value, isint=False, noise_key=nk)
         out = x @ w
         if self.bias is not None:
             out = out + self.bias.value
@@ -341,9 +358,11 @@ class ConvLsqBitSplit(_QuantConvBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True)
+        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+                                    noise_key=nk)
         bit_len, b = slices.shape[0], x.shape[0]
         merged = slices.reshape((bit_len * b,) + slices.shape[2:])
         out = _conv(merged, w, self.strides, self.padding, self.groups)
@@ -371,9 +390,11 @@ class LinearLsqBitSplit(_QuantLinearBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True)
+        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+                                    noise_key=nk)
         out = jnp.einsum("s...i,io->s...o", slices, w)
         out = _bit_concat_axis(out, self.slice_bit)
         out = out / w_scale / in_scale
@@ -524,9 +545,11 @@ class ConvLsqAdda(_QuantConvBase, _AddaState):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True)
+        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+                                    noise_key=nk)
         bit_len, b = slices.shape[0], x.shape[0]
         merged = slices.reshape((bit_len * b,) + slices.shape[2:])
         out = _conv(merged, w, self.strides, self.padding, self.groups)
@@ -554,8 +577,10 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True)
+        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+                                    noise_key=nk)
         if self.calibrating:
             # calibration needs pre-ADC activations for the gain init
             slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
@@ -669,9 +694,11 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True)
+        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+                                    noise_key=nk)
 
         bit_len, b = slices.shape[0], x.shape[0]
         merged = slices.reshape((bit_len * b,) + slices.shape[2:])

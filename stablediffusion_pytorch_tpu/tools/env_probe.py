@@ -46,9 +46,9 @@ def probe() -> dict:
     info["matmul_tflops_bf16"] = round(2 * n**3 * reps / dt / 1e12, 1)
 
     # conv probe
-    img = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 64),
+    img = jax.random.normal(jax.random.PRNGKey(2), (32, 128, 128, 128),
                             jnp.bfloat16)
-    ker = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 64, 64),
+    ker = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 128, 128),
                             jnp.bfloat16)
     conv = jax.jit(lambda x, k: jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
@@ -59,7 +59,7 @@ def probe() -> dict:
     for _ in range(reps):
         yy = conv(yy, ker) * 0.1
     np.asarray(yy[:1, :1, :1])
-    conv_flops = 2 * 8 * 64 * 64 * 3 * 3 * 64 * 64
+    conv_flops = 2 * 32 * 128 * 128 * 3 * 3 * 128 * 128
     info["conv_tflops_bf16"] = round(
         conv_flops * reps / (time.perf_counter() - t0) / 1e12, 1)
     return info
