@@ -606,6 +606,12 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
 # ADDA-CIM: full array simulation (layers_qn_lsq_adda_cim_opt.py)
 # ---------------------------------------------------------------------------
 
+def get_cols(layer) -> int:
+    """Output-column count of a layer's 2-D weight view."""
+    k = layer.kernel.value.shape
+    return k[-1]
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -638,9 +644,31 @@ class _CimArrayMixin(_AddaState):
         self._offset_noise = np.asarray(jax.random.normal(k2, (4096,)))
         self.weight_mapping_info = None  # filled by the weight mapper
 
+    def enable_multi_gains(self) -> int:
+        """Per-column-block learned ADC gains instead of one scalar
+        (reference: layers_qn_lsq_adda_cim_multi_gains.py:25-489,
+        adc_gain_dict + update_adc_gain_multi layers_utils_adda.py:76-97).
+        Returns the number of column blocks."""
+        _, ca = self.array_size
+        cols = get_cols(self)
+        nc = -(-cols // ca)
+        g = float(jnp.ravel(self.adc_gain.value)[0])
+        self.adc_gain.value = jnp.full((nc,), g)
+        return nc
+
+    def _descale_adc(self, out: jax.Array, adc_scale) -> jax.Array:
+        """Undo the ADC scale on the recombined output; with multi-gains the
+        per-block gains expand to per-column factors on the last axis."""
+        if jnp.ndim(adc_scale) == 1:
+            _, ca = self.array_size
+            percol = jnp.repeat(adc_scale, ca)[:out.shape[-1]]
+            return out / percol
+        return out / adc_scale
+
     def _cim_matmul(self, x2d: jax.Array, w2d: jax.Array,
                     adc_scale) -> jax.Array:
-        """x2d (s, b, n, R), w2d (R, C) -> (s, b, n, C) with per-block ADC."""
+        """x2d (s, b, n, R), w2d (R, C) -> (s, b, n, C) with per-block ADC.
+        ``adc_scale`` is scalar, or (nc,) with multi-gains enabled."""
         ra, ca = self.array_size
         R, C = w2d.shape
         xp = _pad_to(x2d, 3, ra)
@@ -650,6 +678,8 @@ class _CimArrayMixin(_AddaState):
         wp = wp.reshape(nr, ra, nc, ca)
         out = jnp.einsum("sbnri,rico->sbnrco", xp, wp)  # (s,b,n,nr,nc,ca)
         self._maybe_init_adc_gain(out)
+        if jnp.ndim(adc_scale) == 1:  # per-column-block gains
+            adc_scale = adc_scale.reshape(1, 1, 1, 1, nc, 1)
         out = adc_scale * out
         if self.gain_noise_scale or self.offset_noise_scale:
             gn = jnp.asarray(self._gain_noise[:nc * ca]).reshape(nc, ca) \
@@ -711,7 +741,7 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
 
         out = self._cim_matmul(x2d, w2d, adc_scale)       # (s, b, n, C)
         out = _bit_concat_axis(out, self.slice_bit)        # (b, n, C)
-        out = out / w_scale / in_scale / adc_scale
+        out = self._descale_adc(out / w_scale / in_scale, adc_scale)
         out = out.reshape(b, oh, ow, self.out_channels)
         if self.bias is not None:
             out = out + self.bias.value
@@ -744,7 +774,7 @@ class LinearLsqAddaCim(_QuantLinearBase, _CimArrayMixin):
         out = self._cim_matmul(flat, w2d, adc_scale)
         out = out.reshape(lead + (w2d.shape[1],))
         out = _bit_concat_axis(out, self.slice_bit)
-        out = out / w_scale / in_scale / adc_scale
+        out = self._descale_adc(out / w_scale / in_scale, adc_scale)
         if self.bias is not None:
             out = out + self.bias.value
         out, _ = self._output_q(out)

@@ -351,6 +351,32 @@ class ProgressiveTrain:
         log.info("add_enhance_branch_LoR(%.3f): %d branches", ops_factor, n)
         return n
 
+    def convert_to_lsq_int_layers(self, weight_bit_extension: int = 4,
+                                  int_grad: bool = False,
+                                  x_detach: bool = False) -> int:
+        """Swap trained LSQ quant layers for integer-arithmetic inference
+        twins (reference: convert_to_lsq_int_layers :711-755)."""
+        from stablediffusion_pytorch_tpu.cim.int_layers import (
+            ConvLsqInt, LinearLsqInt,
+        )
+
+        n = 0
+        for path, parent, key, m in list(_walk(self.model)):
+            if isinstance(m, _QuantConvBase) and not isinstance(
+                    m, (ConvLsqInt,)):
+                _set_child(parent, key,
+                           ConvLsqInt(m, weight_bit_extension, int_grad,
+                                      x_detach))
+                n += 1
+            elif isinstance(m, _QuantLinearBase) and not isinstance(
+                    m, (LinearLsqInt,)):
+                _set_child(parent, key,
+                           LinearLsqInt(m, weight_bit_extension, int_grad,
+                                        x_detach))
+                n += 1
+        log.info("convert_to_lsq_int_layers: %d layers", n)
+        return n
+
     def revert_to_nn_layer(self) -> int:
         """Swap every quant layer back to a plain nnx.Conv/nnx.Linear
         sharing the same weights (reference: :810-871)."""

@@ -24,6 +24,11 @@ REGISTRY = {
     "layers_qn_lsq_adda": (ConvLsqAdda, LinearLsqAdda),
     "layers_qn_lsq_adda_cim": (ConvLsqAddaCim, LinearLsqAddaCim),
     "layers_qn_lsq_adda_cim_opt": (ConvLsqAddaCim, LinearLsqAddaCim),
+    # row-split is subsumed by the uniform array tiling (rows always split
+    # at array granularity here); multi-gains = same classes after
+    # enable_multi_gains() (reference: ..._row_split.py, ..._multi_gains.py)
+    "layers_qn_lsq_adda_cim_row_split": (ConvLsqAddaCim, LinearLsqAddaCim),
+    "layers_qn_lsq_adda_cim_multi_gains": (ConvLsqAddaCim, LinearLsqAddaCim),
 }
 
 # group tuples (reference: register_dict.py groupings)

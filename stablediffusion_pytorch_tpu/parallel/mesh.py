@@ -19,6 +19,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: call once per host before make_mesh.
+
+    The TPU-native replacement for the reference's mp.spawn +
+    MASTER_ADDR/PORT rendezvous (train_ddpm_cond_celebhq_multi_gpu.py:
+    439-466): on TPU pods jax.distributed.initialize() discovers everything
+    from the environment; explicit args cover DCN clusters. Returns the
+    process count. Safe to call on a single host (no-op)."""
+    if jax.process_count() > 1:
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception:
+        pass  # single-process / already initialized
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",)) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices (all by

@@ -157,6 +157,48 @@ class LdmTrainer:
         return metrics
 
     # -----------------------------------------------------------------
+    @partial(nnx.jit, static_argnums=0, donate_argnums=3)
+    def _multi_step(self, model, optimizer, ema_params, latents_stack,
+                    cond_stack, key):
+        @nnx.scan(in_axes=(nnx.Carry, None, None, 0, 0, 0),
+                  out_axes=(nnx.Carry, 0))
+        def body(ema, model, optimizer, latents, cond, k):
+            k_drop, k_noise, k_t = jax.random.split(k, 3)
+            c = self._apply_cond_dropout(cond, k_drop) if cond else None
+            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+            t = jax.random.randint(k_t, (latents.shape[0],), 0,
+                                   self.sched.num_timesteps)
+            noisy = add_noise(self.sched, latents, noise, t)
+
+            def loss_fn(m):
+                pred = m(noisy, t, c) if c is not None else m(noisy, t)
+                return jnp.mean((pred.astype(jnp.float32)
+                                 - noise.astype(jnp.float32)) ** 2)
+
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            optimizer.update(model, grads)
+            new_ema = ema_update(ema, nnx.state(model, nnx.Param),
+                                 self.ema_decay)
+            return new_ema, loss
+
+        keys = jax.random.split(key, latents_stack.shape[0])
+        ema, losses = body(ema_params, model, optimizer, latents_stack,
+                           cond_stack, keys)
+        return ema, losses
+
+    def train_multi_step(self, latents_stack: jax.Array,
+                         cond_stack: Optional[Dict[str, jax.Array]],
+                         key) -> jax.Array:
+        """Run S optimization steps in ONE jitted program via nnx.scan over
+        stacked batches (S, B, ...). Amortizes per-dispatch latency and host
+        round-trips — on relay-attached chips dispatch alone is ~25ms/step
+        (PERF.md). Returns the (S,) per-step losses (on device)."""
+        self.ema_params, losses = self._multi_step(
+            self.model, self.optimizer, self.ema_params, latents_stack,
+            cond_stack or {}, key)
+        return losses
+
+    # -----------------------------------------------------------------
     def set_lr(self, lr: float) -> None:
         """Host-side LR override (plateau controller between epochs)."""
         inner = self.optimizer.opt_state.inner_state  # apply_if_finite wrapper

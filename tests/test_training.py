@@ -142,3 +142,30 @@ class TestDataParallelStep:
         assert len(sharded.sharding.device_set) == 8
         m = tr.train_step(sharded, None, jax.random.PRNGKey(1))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestMultiStepScan:
+    def test_multi_step_trains_and_matches_api(self):
+        """S steps in one jitted nnx.scan program (PERF.md dispatch
+        amortization); single-step API keeps working afterwards."""
+        tr = make_trainer()
+        S, B = 3, 2
+        stack = jax.random.normal(jax.random.PRNGKey(0), (S, B, 16, 16, 4))
+        losses = tr.train_multi_step(stack, None, jax.random.PRNGKey(1))
+        assert losses.shape == (S,)
+        assert np.isfinite(np.asarray(losses)).all()
+        m = tr.train_step(stack[0], None, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_multi_step_with_conditioning(self):
+        tr = make_trainer(cond=True)
+        S, B = 2, 2
+        stack = jax.random.normal(jax.random.PRNGKey(0), (S, B, 16, 16, 4))
+        cond = {
+            "class": jnp.tile(jax.nn.one_hot(jnp.array([1, 2]), 10)[None],
+                              (S, 1, 1)),
+            "text": jnp.ones((S, B, 7, 24)),
+            "image": jnp.ones((S, B, 64, 64, 18)),
+        }
+        losses = tr.train_multi_step(stack, cond, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
