@@ -152,9 +152,9 @@ class GroupedLinear(nnx.Module):
     def __call__(self, x):
         lead = x.shape[:-1]
         xg = x.reshape(lead + (self.groups, self.in_group))
-        out = jnp.einsum("...gi,gio->...go", xg, self.weight.value)
+        out = jnp.einsum("...gi,gio->...go", xg, self.weight[...])
         out = out.reshape(lead + (self.groups * self.out_group,))
-        return out + self.bias.value
+        return out + self.bias[...]
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +169,7 @@ class EnhanceLayerConv(nnx.Module):
     def __init__(self, original_conv, ops_factor: float = 0.05, *,
                  rngs: Optional[nnx.Rngs] = None):
         self.original_conv = original_conv
-        k = original_conv.kernel.value.shape  # (kh, kw, in_g, out)
+        k = original_conv.kernel[...].shape  # (kh, kw, in_g, out)
         kh, kw, cin_g, cout = k
         groups_src = getattr(original_conv, "groups",
                              getattr(original_conv, "feature_group_count", 1))
@@ -191,8 +191,8 @@ class EnhanceLayerConv(nnx.Module):
         b, h, w, c = out.shape
         og = c // g
         xg = out.reshape(b, h, w, g, og)
-        y = jnp.einsum("bhwgi,gio->bhwgo", xg, self.weight.value)
-        return y.reshape(b, h, w, c) + self.bias.value
+        y = jnp.einsum("bhwgi,gio->bhwgo", xg, self.weight[...])
+        return y.reshape(b, h, w, c) + self.bias[...]
 
 
 class EnhanceLayerLinear(nnx.Module):
@@ -201,7 +201,7 @@ class EnhanceLayerLinear(nnx.Module):
     def __init__(self, original_linear, ops_factor: float = 0.05, *,
                  rngs: Optional[nnx.Rngs] = None):
         self.original_linear = original_linear
-        cin, cout = original_linear.kernel.value.shape
+        cin, cout = original_linear.kernel[...].shape
         cfg = analyze_enhance_linear_ops(cin, cout, ops_factor)
         self.estimated_ops_factor = cfg["estimated_ops_factor"]
         self.fc1 = GroupedLinear(cout, cout, cfg["group"],
@@ -228,7 +228,7 @@ class EnhanceBranchConvLoR(nnx.Module):
         self.original_conv = original_conv
         self.relu = relu
         self.sigmoid = sigmoid
-        k = original_conv.kernel.value.shape
+        k = original_conv.kernel[...].shape
         kh, kw, cin_g, cout = k
         groups_src = getattr(original_conv, "groups",
                              getattr(original_conv, "feature_group_count", 1))
@@ -249,8 +249,8 @@ class EnhanceBranchConvLoR(nnx.Module):
             jnp.asarray(BLEND_INIT if sigmoid else 0.0))
 
     def _blend(self, original, enhance):
-        a = (jax.nn.sigmoid(self.blend_factor.value) if self.sigmoid
-             else self.blend_factor.value)
+        a = (jax.nn.sigmoid(self.blend_factor[...]) if self.sigmoid
+             else self.blend_factor[...])
         return original * (1 - a) + enhance * a
 
     def __call__(self, x):
@@ -283,7 +283,7 @@ class EnhanceBranchLinearLoR(nnx.Module):
         self.original_linear = original_linear
         self.relu = relu
         self.sigmoid = sigmoid
-        cin, cout = original_linear.kernel.value.shape
+        cin, cout = original_linear.kernel[...].shape
         cfg = analyze_lora_linear_ops(cin, cout, ops_factor)
         self.estimated_ops_factor = cfg["estimated_ops_factor"]
         self.branch1 = GroupedLinear(cin, cfg["hidden_channels"],
@@ -301,8 +301,8 @@ class EnhanceBranchLinearLoR(nnx.Module):
         if self.relu:
             e = nnx.relu(e)
         e = self.branch2(e)
-        a = (jax.nn.sigmoid(self.blend_factor.value) if self.sigmoid
-             else self.blend_factor.value)
+        a = (jax.nn.sigmoid(self.blend_factor[...]) if self.sigmoid
+             else self.blend_factor[...])
         return original * (1 - a) + e * a
 
 

@@ -76,13 +76,13 @@ class _LsqIntState(nnx.Module):
         self.int_grad = int_grad
         self.x_detach = x_detach
         # frozen copies of the trained step sizes
-        self.step_size_input = nnx.Param(jnp.asarray(src.step_size_input.value))
+        self.step_size_input = nnx.Param(jnp.asarray(src.step_size_input[...]))
         self.step_size_weight = nnx.Param(
-            jnp.asarray(src.step_size_weight.value))
+            jnp.asarray(src.step_size_weight[...]))
 
     def _quant_in(self, x):
         x_q, _ = data_quant_lsq(x, self.input_bit,
-                                self.step_size_input.value, isint=True)
+                                self.step_size_input[...], isint=True)
         if self.x_detach:
             x_q = jax.lax.stop_gradient(x_q)
         return x_q
@@ -92,12 +92,12 @@ class _LsqIntState(nnx.Module):
         # integer updates are representable (on-chip training sim,
         # layers_lsq_int.py weight_bit_extension)
         w_q, _ = data_quant_lsq(w, self.weight_bit,
-                                self.step_size_weight.value, isint=True)
+                                self.step_size_weight[...], isint=True)
         return round_pass(w_q * self.extended_levels)
 
     def _rescale(self, y_int):
-        return (y_int * self.step_size_input.value *
-                self.step_size_weight.value / self.extended_levels)
+        return (y_int * self.step_size_input[...] *
+                self.step_size_weight[...] / self.extended_levels)
 
 
 class ConvLsqInt(_QuantConvBase, _LsqIntState):
@@ -110,11 +110,11 @@ class ConvLsqInt(_QuantConvBase, _LsqIntState):
 
     def __call__(self, x):
         x_q = self._quant_in(x)
-        w_q = self._quant_w(self.kernel.value)
+        w_q = self._quant_w(self.kernel[...])
         y = _conv(x_q, w_q, self.strides, self.padding, self.groups)
         y = self._rescale(y)
         if self.bias is not None:
-            y = y + self.bias.value
+            y = y + self.bias[...]
         return y
 
 
@@ -128,10 +128,10 @@ class LinearLsqInt(_QuantLinearBase, _LsqIntState):
 
     def __call__(self, x):
         x_q = self._quant_in(x)
-        w_q = self._quant_w(self.kernel.value)
+        w_q = self._quant_w(self.kernel[...])
         y = self._rescale(x_q @ w_q)
         if self.bias is not None:
-            y = y + self.bias.value
+            y = y + self.bias[...]
         return y
 
 
@@ -185,9 +185,9 @@ class QuantLayer(nnx.Module):
 
             _, scale = data_quant(x, self.data_bit, isint=True)
             self.step_size.value = jnp.where(
-                self.step_size.value == 1.0, 1.0 / scale,
-                self.step_size.value)
-        q, _ = data_quant_lsq(x, self.data_bit, self.step_size.value,
+                self.step_size[...] == 1.0, 1.0 / scale,
+                self.step_size[...])
+        q, _ = data_quant_lsq(x, self.data_bit, self.step_size[...],
                               isint=self.isint)
         return q
 

@@ -90,14 +90,14 @@ class QuantState(nnx.Module):
         if self.calibrating:
             _, scale = data_quant(x, data_bit=bit, isint=True)
             init = jnp.asarray(1.0 / scale, jnp.float32)
-            param.value = jnp.where(param.value == 1.0, init, param.value)
+            param.value = jnp.where(param[...] == 1.0, init, param[...])
 
     # -- quant helpers (reference: layers_utils_lsq.py:37-83) ------------
     def _input_q(self, x, isint):
         if not self.input_quant:
             return x, jnp.asarray(1.0)
         self._maybe_calibrate(self.step_size_input, x, self.input_bit)
-        return data_quant_lsq(x, self.input_bit, self.step_size_input.value,
+        return data_quant_lsq(x, self.input_bit, self.step_size_input[...],
                               isint=isint)
 
     def _noise_key(self, x: jax.Array) -> jax.Array:
@@ -119,7 +119,7 @@ class QuantState(nnx.Module):
         if self.weight_quant:
             self._maybe_calibrate(self.step_size_weight, w, self.weight_bit)
             w, w_scale = weight_quant_lsq(
-                w, self.weight_bit, self.step_size_weight.value, isint=isint)
+                w, self.weight_bit, self.step_size_weight[...], isint=isint)
         if self.noise_scale:
             key = noise_key if noise_key is not None else self._noise_key(w)
             w = add_noise(w, key, self.noise_scale)
@@ -129,7 +129,7 @@ class QuantState(nnx.Module):
         if not self.output_quant:
             return x, jnp.asarray(1.0)
         self._maybe_calibrate(self.step_size_output, x, self.output_bit)
-        return data_quant_lsq(x, self.output_bit, self.step_size_output.value,
+        return data_quant_lsq(x, self.output_bit, self.step_size_output[...],
                               isint=isint)
 
     # -- progressive schedule hook (reference: layers_qn_lsq.py:64-98) ---
@@ -157,7 +157,7 @@ class QuantState(nnx.Module):
             (self.step_size_output, old[2], self.output_bit),
         ]:
             if b_old != b_new:
-                param.value = param.value / (2.0 ** (b_new - b_old))
+                param.value = param[...] / (2.0 ** (b_new - b_old))
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,7 @@ class _QuantConvBase(QuantState):
     def _init_from_conv(self, conv: nnx.Conv):
         self.kernel = conv.kernel            # SHARED param (surgery contract)
         self.bias = conv.bias
-        kh, kw, _, out_ch = conv.kernel.value.shape
+        kh, kw, _, out_ch = conv.kernel[...].shape
         self.kernel_size = (kh, kw)
         s = conv.strides
         self.strides = (s, s) if isinstance(s, int) else tuple(s)
@@ -186,10 +186,10 @@ class _QuantConvBase(QuantState):
         self.out_channels = out_ch
 
     def _fp_forward(self, x):
-        out = _conv(x, self.kernel.value, self.strides, self.padding,
+        out = _conv(x, self.kernel[...], self.strides, self.padding,
                     self.groups)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out
 
 
@@ -199,9 +199,9 @@ class _QuantLinearBase(QuantState):
         self.bias = linear.bias
 
     def _fp_forward(self, x):
-        out = x @ self.kernel.value
+        out = x @ self.kernel[...]
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out
 
 
@@ -221,14 +221,14 @@ class ConvQn(_QuantConvBase):
             return self._fp_forward(x)
         if self.input_quant:
             x, _ = data_quant_pass(x, self.input_bit)
-        w = self.kernel.value
+        w = self.kernel[...]
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
         if self.noise_scale:
             w = add_noise(w, self._noise_key(x), self.noise_scale)
         out = _conv(x, w, self.strides, self.padding, self.groups)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         if self.output_quant:
             out, _ = data_quant_pass(out, self.output_bit)
         return out
@@ -246,14 +246,14 @@ class LinearQn(_QuantLinearBase):
             return self._fp_forward(x)
         if self.input_quant:
             x, _ = data_quant_pass(x, self.input_bit)
-        w = self.kernel.value
+        w = self.kernel[...]
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
         if self.noise_scale:
             w = add_noise(w, self._noise_key(x), self.noise_scale)
         out = x @ w
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         if self.output_quant:
             out, _ = data_quant_pass(out, self.output_bit)
         return out
@@ -275,10 +275,10 @@ class ConvQnLsq(_QuantConvBase):
             return self._fp_forward(x)
         nk = self._noise_key(x) if self.noise_scale else None
         x, _ = self._input_q(x, isint=False)
-        w, _ = self._weight_q(self.kernel.value, isint=False, noise_key=nk)
+        w, _ = self._weight_q(self.kernel[...], isint=False, noise_key=nk)
         out = _conv(x, w, self.strides, self.padding, self.groups)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -295,10 +295,10 @@ class LinearQnLsq(_QuantLinearBase):
             return self._fp_forward(x)
         nk = self._noise_key(x) if self.noise_scale else None
         x, _ = self._input_q(x, isint=False)
-        w, _ = self._weight_q(self.kernel.value, isint=False, noise_key=nk)
+        w, _ = self._weight_q(self.kernel[...], isint=False, noise_key=nk)
         out = x @ w
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -361,7 +361,7 @@ class ConvLsqBitSplit(_QuantConvBase):
         nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+        w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
         bit_len, b = slices.shape[0], x.shape[0]
         merged = slices.reshape((bit_len * b,) + slices.shape[2:])
@@ -370,7 +370,7 @@ class ConvLsqBitSplit(_QuantConvBase):
         out = _bit_concat_axis(out, self.slice_bit)
         out = out / w_scale / in_scale
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -393,13 +393,13 @@ class LinearLsqBitSplit(_QuantLinearBase):
         nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+        w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
         out = jnp.einsum("s...i,io->s...o", slices, w)
         out = _bit_concat_axis(out, self.slice_bit)
         out = out / w_scale / in_scale
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -481,7 +481,7 @@ class _AddaState(QuantState):
     def _adc_scale(self):
         """clamp_pass + round_pass on the learned gain
         (reference: layers_utils_adda.py:40-49)."""
-        g = clamp_pass(self.adc_gain.value, self.adc_gain_min,
+        g = clamp_pass(self.adc_gain[...], self.adc_gain_min,
                        self.adc_gain_max)
         if self.adc_adjust_mode == "gain":
             g = round_pass(g)
@@ -500,7 +500,7 @@ class _AddaState(QuantState):
                                  weight_bit_old):
         """Gain rescale on bit change (reference: layers_qn_lsq_adda.py:
         108-126, floor 1.0)."""
-        g = float(self.adc_gain.value)
+        g = float(self.adc_gain[...])
         if adc_bit_old != self.adc_bit:
             g = max(g * 2 ** (self.adc_bit - adc_bit_old), 1.0)
         if dac_bit_old != self.dac_bit:
@@ -528,8 +528,8 @@ class _AddaState(QuantState):
                              0.8 * self.adc_gain_min,
                              1.2 * self.adc_gain_max)
             self.adc_gain.value = jnp.where(
-                (self.adc_gain.value == self.adc_gain_min) & (absmax > 0),
-                ideal, self.adc_gain.value)
+                (self.adc_gain[...] == self.adc_gain_min) & (absmax > 0),
+                ideal, self.adc_gain[...])
 
 
 class ConvLsqAdda(_QuantConvBase, _AddaState):
@@ -548,7 +548,7 @@ class ConvLsqAdda(_QuantConvBase, _AddaState):
         nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+        w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
         bit_len, b = slices.shape[0], x.shape[0]
         merged = slices.reshape((bit_len * b,) + slices.shape[2:])
@@ -559,7 +559,7 @@ class ConvLsqAdda(_QuantConvBase, _AddaState):
         out = _bit_concat_axis(out, self.slice_bit)
         out = out / w_scale / in_scale / adc_scale
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -579,7 +579,7 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
         adc_scale = self._adc_scale()
         nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+        w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
         if self.calibrating:
             # calibration needs pre-ADC activations for the gain init
@@ -597,7 +597,7 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
             out = out.reshape(lead + (w.shape[1],))
         out = out / w_scale / in_scale / adc_scale
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -608,7 +608,7 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
 
 def get_cols(layer) -> int:
     """Output-column count of a layer's 2-D weight view."""
-    k = layer.kernel.value.shape
+    k = layer.kernel[...].shape
     return k[-1]
 
 
@@ -652,7 +652,7 @@ class _CimArrayMixin(_AddaState):
         _, ca = self.array_size
         cols = get_cols(self)
         nc = -(-cols // ca)
-        g = float(jnp.ravel(self.adc_gain.value)[0])
+        g = float(jnp.ravel(self.adc_gain[...])[0])
         self.adc_gain.value = jnp.full((nc,), g)
         return nc
 
@@ -727,7 +727,7 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w, w_scale = self._weight_q(self.kernel.value, isint=True,
+        w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
 
         bit_len, b = slices.shape[0], x.shape[0]
@@ -744,7 +744,7 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         out = self._descale_adc(out / w_scale / in_scale, adc_scale)
         out = out.reshape(b, oh, ow, self.out_channels)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 
@@ -765,7 +765,7 @@ class LinearLsqAddaCim(_QuantLinearBase, _CimArrayMixin):
         adc_scale = self._adc_scale()
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
-        w2d = self.kernel.value
+        w2d = self.kernel[...]
         w2d, w_scale = self._weight_q(w2d, isint=True)
 
         lead = slices.shape[:-1]
@@ -776,7 +776,7 @@ class LinearLsqAddaCim(_QuantLinearBase, _CimArrayMixin):
         out = _bit_concat_axis(out, self.slice_bit)
         out = self._descale_adc(out / w_scale / in_scale, adc_scale)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         out, _ = self._output_q(out)
         return out
 

@@ -141,14 +141,14 @@ class ProgressiveTrain:
         shape (NHWC / (..., features))."""
         if isinstance(layer, (nnx.Conv, _QuantConvBase)):
             if isinstance(layer, nnx.Conv):
-                kh, kw, cin_g, cout = layer.kernel.value.shape
+                kh, kw, cin_g, cout = layer.kernel[...].shape
                 strides = layer.strides
                 strides = ((strides, strides) if isinstance(strides, int)
                            else tuple(strides))
                 has_bias = layer.bias is not None
             else:
                 kh, kw = layer.kernel_size
-                cin_g, cout = layer.kernel.value.shape[2:]
+                cin_g, cout = layer.kernel[...].shape[2:]
                 strides = layer.strides
                 has_bias = layer.bias is not None
             h, w = input_shape[1], input_shape[2]
@@ -157,7 +157,7 @@ class ProgressiveTrain:
             adds = (kh * kw * cin_g - 1) * cout * oh * ow
             bias = cout * oh * ow if has_bias else 0
         else:  # linear
-            cin, cout = layer.kernel.value.shape
+            cin, cout = layer.kernel[...].shape
             tokens = int(np.prod(input_shape[1:-1])) if len(input_shape) > 2 else 1
             muls = cin * cout * tokens
             adds = (cin - 1) * cout * tokens
@@ -207,10 +207,10 @@ class ProgressiveTrain:
             if layer is None:
                 continue
             if isinstance(layer, (nnx.Conv, _QuantConvBase)):
-                k = layer.kernel.value.shape
+                k = layer.kernel[...].shape
                 rows, cols = k[0] * k[1] * k[2], k[3]
             else:
-                rows, cols = layer.kernel.value.shape
+                rows, cols = layer.kernel[...].shape
             ra, ca = acim_array
             util = min(rows, ra) * min(cols, ca) / (ra * ca)
             util = max(util, 1e-3)
@@ -458,7 +458,7 @@ class _Recorder(nnx.Module):
 
 def _conv_view(q: _QuantConvBase) -> nnx.Conv:
     """Plain nnx.Conv sharing a quant conv's weights/geometry."""
-    kh, kw, cin_g, cout = q.kernel.value.shape
+    kh, kw, cin_g, cout = q.kernel[...].shape
     conv = nnx.Conv(cin_g * q.groups, cout, kernel_size=(kh, kw),
                     strides=q.strides, padding=q.padding,
                     feature_group_count=q.groups,
@@ -469,7 +469,7 @@ def _conv_view(q: _QuantConvBase) -> nnx.Conv:
 
 
 def _linear_view(q: _QuantLinearBase) -> nnx.Linear:
-    cin, cout = q.kernel.value.shape
+    cin, cout = q.kernel[...].shape
     linear = nnx.Linear(cin, cout, use_bias=q.bias is not None,
                         rngs=nnx.Rngs(0))
     linear.kernel = q.kernel

@@ -39,7 +39,7 @@ log = logging.getLogger("sdtpu")
 def get_2d_weight_shape(module) -> Tuple[int, int]:
     """(rows, cols) of the layer's 2-D weight: conv HWIO -> (kh*kw*in, out),
     linear -> (in, out) (reference: weight_process.py:5-7 layout)."""
-    k = module.kernel.value.shape
+    k = module.kernel[...].shape
     if len(k) == 4:
         return k[0] * k[1] * k[2], k[3]
     return k[0], k[1]
@@ -228,7 +228,7 @@ def weight_drift(model, std_tar: Dict[float, float], key=None,
         if assign_layers is not None and name not in assign_layers:
             continue
         key, sub = jax.random.split(key)
-        drifted, std_est = generate_weight_est(module.kernel.value, std_tar,
+        drifted, std_est = generate_weight_est(module.kernel[...], std_tar,
                                                sub)
         module.kernel.value = drifted
         out[name] = float(std_est)

@@ -186,7 +186,7 @@ def get_tokenizer_and_model(model_type: str = "clip", *,
             "%s text encoder running with deterministic random weights "
             "(no pretrained checkpoint in this zero-egress environment); "
             "pass weights_path= for production conditioning", model_type)
-    tokenizer = HashTokenizer(vocab=model.token_embedding.embedding.value.shape[0])
+    tokenizer = HashTokenizer(vocab=model.token_embedding.embedding[...].shape[0])
     return tokenizer, model
 
 

@@ -35,7 +35,7 @@ class _TrainBatchNorm(nnx.Module):
         mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * self.scale.value + self.bias.value
+        return y * self.scale[...] + self.bias[...]
 
 
 class Discriminator(nnx.Module):

@@ -291,7 +291,7 @@ class DIT(nnx.Module):
         if self.class_cond:
             validate_class_conditional_input(cond_input, x, self.num_classes)
             class_embed = cond_input["class"].astype(t_emb.dtype) @ \
-                self.class_emb.embedding.value.astype(t_emb.dtype)
+                self.class_emb.embedding[...].astype(t_emb.dtype)
             t_emb = t_emb + class_embed
 
         t_emb = self.t_proj_2(nnx.relu(self.t_proj_1(t_emb)))

@@ -161,7 +161,7 @@ class Unet(nnx.Module):
             validate_class_conditional_input(cond_input, x, self.num_classes)
             # einsum('b n, n d -> b d') of one-hot with the embedding table
             class_embed = cond_input["class"].astype(t_emb.dtype) @ \
-                self.class_emb.embedding.value.astype(t_emb.dtype)
+                self.class_emb.embedding[...].astype(t_emb.dtype)
             t_emb = t_emb + class_embed
 
         context = None

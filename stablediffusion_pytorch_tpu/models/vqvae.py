@@ -104,7 +104,7 @@ class VQVAE(nnx.Module):
         """
         b, h, w, c = x.shape
         flat = x.reshape(-1, c)
-        emb = self.embedding.embedding.value.astype(flat.dtype)  # (K, C)
+        emb = self.embedding.embedding[...].astype(flat.dtype)  # (K, C)
 
         x_sq = jnp.sum(flat**2, axis=-1, keepdims=True)
         e_sq = jnp.sum(emb**2, axis=-1)[None, :]

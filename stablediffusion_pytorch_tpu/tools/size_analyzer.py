@@ -28,12 +28,12 @@ def analyze(model: nnx.Module) -> dict:
                   if isinstance(v, nnx.Param)}
         if not params:
             continue
-        count = sum(int(np.prod(p.value.shape)) for p in params.values())
+        count = sum(int(np.prod(p[...].shape)) for p in params.values())
         rows.append({
             "layer": path,
             "type": type(m).__name__,
             "params": count,
-            "shapes": {k: list(p.value.shape) for k, p in params.items()},
+            "shapes": {k: list(p[...].shape) for k, p in params.items()},
         })
     return {"total_params": sum(r["params"] for r in rows), "layers": rows}
 

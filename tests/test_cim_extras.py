@@ -106,7 +106,7 @@ class TestEnhanceAdapters:
 
         m = M(br)
         assert set_blend_factors(m, 0.0) == 1
-        assert float(br.blend_factor.value) == 0.0
+        assert float(br.blend_factor[...]) == 0.0
 
     def test_harness_insertion_and_skip_on_convert(self):
         class Net(nnx.Module):

@@ -74,15 +74,15 @@ class TestQnLsqLayers:
             return jnp.sum(m(x) ** 2)
 
         grads = nnx.grad(loss)(q, x)
-        assert abs(float(grads.step_size_weight.value)) > 0
-        assert abs(float(grads.step_size_input.value)) > 0
+        assert abs(float(grads.step_size_weight[...])) > 0
+        assert abs(float(grads.step_size_input[...])) > 0
 
     def test_calibration_sets_absmax_over_halflevel(self):
         linear = make_linear()
         q = LinearQnLsq(linear, weight_bit=8, input_bit=8, output_bit=8)
         x = jnp.linspace(-2.0, 2.0, 32).reshape(4, 8)
         calib(q, x)
-        np.testing.assert_allclose(float(q.step_size_input.value), 2.0 / 127,
+        np.testing.assert_allclose(float(q.step_size_input[...]), 2.0 / 127,
                                    rtol=1e-5)
 
     def test_noise_draws_differ_per_call(self):
@@ -98,9 +98,9 @@ class TestQnLsqLayers:
         q = LinearQnLsq(linear, weight_bit=8, input_bit=8, output_bit=8)
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
         calib(q, x)
-        s_before = float(q.step_size_weight.value)
+        s_before = float(q.step_size_weight[...])
         q.update_para(weight_bit=4)
-        np.testing.assert_allclose(float(q.step_size_weight.value),
+        np.testing.assert_allclose(float(q.step_size_weight[...]),
                                    s_before * 16, rtol=1e-5)
         assert q.weight_bit == 4
 
@@ -163,8 +163,8 @@ class TestAddaLayer:
             return jnp.sum(m(x) ** 2)
 
         grads = nnx.grad(loss)(q, x)
-        assert abs(float(grads.adc_gain.value)) >= 0  # exists & finite
-        assert np.isfinite(float(grads.adc_gain.value))
+        assert abs(float(grads.adc_gain[...])) >= 0  # exists & finite
+        assert np.isfinite(float(grads.adc_gain[...]))
 
     def test_update_para_adjusts_adc_gain(self):
         conv = make_conv()
@@ -172,7 +172,7 @@ class TestAddaLayer:
                         dac_bit=5, adc_bit=8, adc_k=1.0)
         q.adc_gain.value = jnp.asarray(8.0)
         q.update_para(adc_bit=6)  # -2 bits -> gain / 4
-        np.testing.assert_allclose(float(q.adc_gain.value), 2.0)
+        np.testing.assert_allclose(float(q.adc_gain[...]), 2.0)
         assert q.adc_bit == 6
 
 

@@ -89,7 +89,7 @@ class TestHelperModules:
         ql.calibrating = False
         q = ql(x)
         levels = np.unique(np.round(np.asarray(q) /
-                                    float(ql.step_size.value)))
+                                    float(ql.step_size[...])))
         assert len(levels) <= 15  # 4-bit symmetric
 
     def test_bit_shift_and_identity(self):
@@ -125,7 +125,7 @@ class TestMultiGains:
                              array_size=(16, 8))
         nc = q.enable_multi_gains()
         assert nc == 3  # 24 cols / 8 per block
-        assert q.adc_gain.value.shape == (3,)
+        assert q.adc_gain[...].shape == (3,)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
         q.calibrating = True
         q(x)

@@ -93,16 +93,16 @@ class TestVQVAE:
 
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
         grads = nnx.grad(loss_fn)(model, x)
-        g_in = grads.encoder_conv_in.kernel.value
+        g_in = grads.encoder_conv_in.kernel[...]
         assert float(jnp.abs(g_in).max()) > 0, "STE must pass grads through quantize"
-        g_emb = grads.embedding.embedding.value
+        g_emb = grads.embedding.embedding[...]
         assert float(jnp.abs(g_emb).max()) > 0, "codebook loss must update embeddings"
 
     def test_quantize_snaps_to_codebook(self):
         model = VQVAE(3, TINY_AE, rngs=nnx.Rngs(0))
         x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4))
         q, _, idx = model.quantize(x)
-        emb = np.asarray(model.embedding.embedding.value)
+        emb = np.asarray(model.embedding.embedding[...])
         np.testing.assert_allclose(
             np.asarray(q).reshape(-1, 4), emb[np.asarray(idx).reshape(-1)], rtol=1e-5
         )
