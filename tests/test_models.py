@@ -201,3 +201,35 @@ class TestDiscriminator:
         out = model(x)
         assert out.shape[0] == 2 and out.shape[-1] == 1
         assert out.shape[1] == 7  # 64 -> 32 -> 16 -> 8 -> 7 (stride 1, pad 1, k 4)
+
+
+class TestMaskPreResize:
+    def test_pre_resized_mask_is_numerically_identical(self):
+        """resize_mask_to_latent commutes with the in-model resize + 1x1
+        cond conv (the PERF.md mask optimization must not change numerics)."""
+        from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+            resize_mask_to_latent,
+        )
+
+        cfg = dict(TINY_DIT, condition_config={
+            "condition_types": ["image"],
+            "image_condition_config": {
+                "image_condition_input_channels": 18,
+                "image_condition_output_channels": 3,
+            },
+        })
+        model = DIT(4, cfg, rngs=nnx.Rngs(1))
+        # give proj_out real weights so outputs are non-zero
+        model.proj_out.kernel[...] = jax.random.normal(
+            jax.random.PRNGKey(9), model.proj_out.kernel[...].shape) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        t = jnp.array([3, 7])
+        mask_full = jnp.asarray(
+            (jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 18))
+             > 0.5).astype(jnp.float32))
+        out_full = model(x, t, {"image": mask_full})
+        mask_small = resize_mask_to_latent(mask_full, 16)
+        out_small = model(x, t, {"image": mask_small})
+        np.testing.assert_allclose(np.asarray(out_full),
+                                   np.asarray(out_small), rtol=1e-5,
+                                   atol=1e-6)

@@ -89,3 +89,27 @@ class TestPallasCimKernel:
         for gi in g:
             assert np.isfinite(np.asarray(gi)).all()
         assert float(jnp.abs(g[1]).max()) > 0  # weight grads nonzero
+
+
+class TestFusedAdalnMlp:
+    def test_interpret_matches_oracle(self):
+        from stablediffusion_pytorch_tpu.ops.pallas.dit_block import (
+            adaln_mlp_reference, fused_adaln_mlp,
+        )
+
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, 8)
+        B, N, H, F = 2, 16, 40, 96  # deliberately unaligned dims
+        x = jax.random.normal(ks[0], (B, N, H))
+        shift = jax.random.normal(ks[1], (B, H)) * 0.1
+        scale = jax.random.normal(ks[2], (B, H)) * 0.1
+        gate = jax.random.normal(ks[3], (B, H)) * 0.1
+        w1 = jax.random.normal(ks[4], (H, F)) * 0.05
+        b1 = jax.random.normal(ks[5], (F,)) * 0.01
+        w2 = jax.random.normal(ks[6], (F, H)) * 0.05
+        b2 = jax.random.normal(ks[7], (H,)) * 0.01
+        got = fused_adaln_mlp(x, shift, scale, gate, w1, b1, w2, b2,
+                              interpret=True)
+        ref = adaln_mlp_reference(x, shift, scale, gate, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
