@@ -38,7 +38,8 @@ def _collate(items: List[Any]):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 2, num_shards: Optional[int] = None,
+                 prefetch: int = 2, num_workers: int = 4,
+                 num_shards: Optional[int] = None,
                  shard_index: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +47,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.num_shards = (jax.process_count() if num_shards is None
                            else num_shards)
         self.shard_index = (jax.process_index() if shard_index is None
@@ -76,17 +78,41 @@ class DataLoader:
         return self.epoch(0)
 
     def epoch(self, epoch: int) -> Iterator:
-        """Iterate one epoch's batches with background prefetch."""
+        """Iterate one epoch's batches: a thread pool decodes samples in
+        parallel (PIL decode is the host bottleneck at 256^2 — the
+        reference's dataloader-worker autotuning concern,
+        train_ddpm_cond_celebhq_multi_gpu.py:57-84) while a coordinator
+        keeps a bounded prefetch queue in order."""
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = self._index_batches(epoch)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
-        def worker():
-            for b in batches:
-                q.put(_collate([self.dataset[int(i)] for i in b]))
+        def load_batch(b):
+            return _collate([self.dataset[int(i)] for i in b])
+
+        def coordinator():
+            # sliding window of in-flight futures (Executor.map would submit
+            # the WHOLE epoch up front and buffer every finished batch)
+            from collections import deque
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                window: deque = deque()
+                it = iter(batches)
+                for _ in range(self.num_workers + self.prefetch):
+                    b = next(it, None)
+                    if b is None:
+                        break
+                    window.append(pool.submit(load_batch, b))
+                while window:
+                    q.put(window.popleft().result())
+                    b = next(it, None)
+                    if b is not None:
+                        window.append(pool.submit(load_batch, b))
             q.put(sentinel)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=coordinator, daemon=True)
         t.start()
         while True:
             item = q.get()

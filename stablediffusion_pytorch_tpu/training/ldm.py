@@ -160,9 +160,11 @@ class LdmTrainer:
     @partial(nnx.jit, static_argnums=0, donate_argnums=3)
     def _multi_step(self, model, optimizer, ema_params, latents_stack,
                     cond_stack, key):
-        @nnx.scan(in_axes=(nnx.Carry, None, None, 0, 0, 0),
-                  out_axes=(nnx.Carry, 0))
-        def body(ema, model, optimizer, latents, cond, k):
+        # model/optimizer MUST ride the scan carry — a broadcast (None axis)
+        # module is re-read fresh each iteration and its updates are lost
+        @nnx.scan(in_axes=(nnx.Carry, 0, 0, 0), out_axes=(nnx.Carry, 0))
+        def body(carry, latents, cond, k):
+            ema, model, optimizer = carry
             k_drop, k_noise, k_t = jax.random.split(k, 3)
             c = self._apply_cond_dropout(cond, k_drop) if cond else None
             noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
@@ -179,11 +181,11 @@ class LdmTrainer:
             optimizer.update(model, grads)
             new_ema = ema_update(ema, nnx.state(model, nnx.Param),
                                  self.ema_decay)
-            return new_ema, loss
+            return (new_ema, model, optimizer), loss
 
         keys = jax.random.split(key, latents_stack.shape[0])
-        ema, losses = body(ema_params, model, optimizer, latents_stack,
-                           cond_stack, keys)
+        (ema, _, _), losses = body((ema_params, model, optimizer),
+                                   latents_stack, cond_stack, keys)
         return ema, losses
 
     def train_multi_step(self, latents_stack: jax.Array,

@@ -147,14 +147,17 @@ class TestDataParallelStep:
 class TestMultiStepScan:
     def test_multi_step_trains_and_matches_api(self):
         """S steps in one jitted nnx.scan program (PERF.md dispatch
-        amortization); single-step API keeps working afterwards."""
+        amortization). The model/optimizer MUST ride the scan carry —
+        regression for the broadcast bug where updates were silently lost:
+        on a fixed batch the loss must actually decrease across chunks."""
         tr = make_trainer()
-        S, B = 3, 2
-        stack = jax.random.normal(jax.random.PRNGKey(0), (S, B, 16, 16, 4))
-        losses = tr.train_multi_step(stack, None, jax.random.PRNGKey(1))
-        assert losses.shape == (S,)
-        assert np.isfinite(np.asarray(losses)).all()
-        m = tr.train_step(stack[0], None, jax.random.PRNGKey(2))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4)) * 0.1
+        stack = jnp.tile(x[None], (15, 1, 1, 1, 1))
+        l1 = tr.train_multi_step(stack, None, jax.random.PRNGKey(1))
+        l2 = tr.train_multi_step(stack, None, jax.random.PRNGKey(2))
+        assert l1.shape == (15,)
+        assert float(l2[-1]) < float(l1[0]) * 0.9, "updates must persist"
+        m = tr.train_step(stack[0], None, jax.random.PRNGKey(3))
         assert np.isfinite(float(m["loss"]))
 
     def test_multi_step_with_conditioning(self):
