@@ -122,6 +122,25 @@ def train(args):
     save_every = tc.get("ldm_save_every_epochs", 1)
     all_losses, boundaries = [], []
 
+    steps_per_call = max(1, getattr(args, "steps_per_call", 1))
+    pending = []  # (latents, cond) buffered for one multi-step scan
+
+    def flush(epoch_losses, k_step):
+        if not pending:
+            return
+        if len(pending) == 1 or steps_per_call == 1:
+            for latents, cond in pending:
+                epoch_losses.append(
+                    trainer.train_step(latents, cond, k_step)["loss"])
+        else:
+            stack = jnp.stack([p[0] for p in pending])
+            conds = [p[1] or {} for p in pending]
+            cond_stack = (jax.tree.map(lambda *xs: jnp.stack(xs), *conds)
+                          if conds[0] else None)
+            losses = trainer.train_multi_step(stack, cond_stack, k_step)
+            epoch_losses.extend(losses)
+        pending.clear()
+
     for epoch in range(num_epochs):
         epoch_losses = []
         for batch in dl.epoch(epoch):
@@ -137,8 +156,11 @@ def train(args):
                                       latent_size=latent_hw(cfg))
             latents = shard_batch(mesh, latents)
             cond = shard_batch(mesh, cond) if cond else None
-            metrics = trainer.train_step(latents, cond, k_step)
-            epoch_losses.append(metrics["loss"])
+            pending.append((latents, cond))
+            if len(pending) >= steps_per_call:
+                flush(epoch_losses, k_step)
+        key, k_tail = jax.random.split(key)
+        flush(epoch_losses, k_tail)
         # single host sync per epoch (reference syncs every step — §5)
         epoch_np = [float(x) for x in epoch_losses]
         mean_loss = float(np.mean(epoch_np)) if epoch_np else float("nan")
@@ -166,6 +188,9 @@ def main():
     parser.add_argument("--text-weights", default=None)
     parser.add_argument("--latent-root", default=None)
     parser.add_argument("--output-root", default="runs")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="optimizer steps fused into one jitted scan "
+                             "(amortizes dispatch latency; see PERF.md)")
     train(parser.parse_args())
 
 
