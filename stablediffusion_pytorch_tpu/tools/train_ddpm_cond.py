@@ -96,6 +96,11 @@ def train(args):
         num_classes = condition_config["class_condition_config"]["num_classes"]
 
     model = build_denoiser(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
+    if getattr(args, "resume", None):
+        # resume from a prior run's ckpt (reference config key
+        # model_paths_ldm_ckpt_resume, multi_gpu.py:249-254)
+        load_model(args.resume, model)
+        log.info("resumed denoiser from %s", args.resume)
     trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
                          condition_config=condition_config,
                          empty_text_embed=empty_text_embed)
@@ -185,6 +190,8 @@ def main():
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument("--vqvae-ckpt", default=None)
+    parser.add_argument("--resume", default=None,
+                        help="denoiser ckpt to resume from")
     parser.add_argument("--text-weights", default=None)
     parser.add_argument("--latent-root", default=None)
     parser.add_argument("--output-root", default="runs")

@@ -28,10 +28,13 @@ from stablediffusion_pytorch_tpu.tools.common import (
     build_dataset, build_vqvae, load_config, seed_everything,
 )
 from stablediffusion_pytorch_tpu.training import VqvaeTrainer
-from stablediffusion_pytorch_tpu.training.checkpoint import save_model
+from stablediffusion_pytorch_tpu.training.checkpoint import (
+    infer_epoch_from_filename, load_model, save_model,
+)
 from stablediffusion_pytorch_tpu.utils.image_utils import save_image_grid
 from stablediffusion_pytorch_tpu.utils.train_utils import (
-    create_run_artifacts, persist_loss_history, save_config_snapshot_json,
+    create_run_artifacts, persist_loss_history, plot_epoch_loss_curve,
+    save_config_snapshot_json,
 )
 
 log = logging.getLogger("sdtpu")
@@ -54,6 +57,17 @@ def train(args):
     trainer = VqvaeTrainer(model, disc, lpips, tc,
                            noise_scale=args.noise_scale)
 
+    # resume from paired G+D checkpoints, inferring the start epoch from the
+    # filename (reference: train_vqvae_celebhq.py:360-383)
+    start_epoch = 0
+    resume_gen = getattr(args, "resume_gen", None)
+    if resume_gen:
+        load_model(resume_gen, model)
+        start_epoch = infer_epoch_from_filename(resume_gen) or 0
+        if getattr(args, "resume_disc", None):
+            load_model(args.resume_disc, disc)
+        log.info("resumed from %s (epoch %d)", resume_gen, start_epoch)
+
     ds = build_dataset(cfg)
     dl = DataLoader(ds, batch_size=tc["autoencoder_batch_size"],
                     seed=tc.get("seed", 1111))
@@ -64,8 +78,9 @@ def train(args):
     step = 0
     img_save_count = 0
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         epoch_metrics = []
+        epoch_losses = []
         for im in dl.epoch(epoch):
             key, k_step = jax.random.split(key)
             metrics = trainer.train_step(im, k_step)
@@ -74,6 +89,7 @@ def train(args):
                 m = {k: float(v) for k, v in metrics.items()}
                 epoch_metrics.append(m)
                 all_losses.append(m["g_loss"])
+                epoch_losses.append(m["g_loss"])
                 log.info("epoch %d step %d | g %.4f recon %.4f lpips %.4f "
                          "codebook %.4f d %.4f", epoch, step, m["g_loss"],
                          m["recon_loss"], m["perceptual_loss"],
@@ -88,9 +104,17 @@ def train(args):
                 img_save_count += 1
         save_model(os.path.join(arts["ckpt_dir"],
                                 tc["vqvae_autoencoder_ckpt_name"]), model)
+        save_model(os.path.join(
+            arts["ckpt_dir"],
+            f"epoch_{epoch:03d}_" + tc["vqvae_autoencoder_ckpt_name"]), model)
         save_model(os.path.join(arts["ckpt_dir"],
                                 tc["vqvae_discriminator_ckpt_name"]), disc)
         persist_loss_history(arts["run_dir"], all_losses)
+        plot_epoch_loss_curve(arts["run_dir"], epoch, epoch_losses)
+        # disc LR: MultiStepLR at 50%/75% of the run
+        # (reference: train_vqvae_celebhq.py disc scheduler)
+        if epoch + 1 in (num_epochs // 2, (3 * num_epochs) // 4):
+            trainer.scale_disc_lr(0.1)
     log.info("Done Training...")
     return arts
 
@@ -124,6 +148,9 @@ def main():
     parser.add_argument("--noise-sweep", type=float, nargs=3, default=None,
                         metavar=("START", "END", "STAGES"),
                         help="latent-noise sweep (vqvae_noise regime)")
+    parser.add_argument("--resume-gen", default=None,
+                        help="VQVAE ckpt to resume (epoch inferred from name)")
+    parser.add_argument("--resume-disc", default=None)
     parser.add_argument("--lpips-weights", default=None)
     parser.add_argument("--output-root", default="runs")
     parser.add_argument("--log-every", type=int, default=1)

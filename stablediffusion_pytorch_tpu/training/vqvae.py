@@ -118,3 +118,18 @@ class VqvaeTrainer:
             self.model, self.discriminator, self.lpips, self.opt_g,
             self.opt_d, im, self.step_count, key)
         return metrics
+
+    def _scale_lr(self, opt, factor: float) -> None:
+        # MultiSteps -> apply_if_finite -> (inject_hyperparams adam)
+        inner = opt.opt_state.inner_opt_state.inner_state
+        inner.hyperparams["learning_rate"] = (
+            inner.hyperparams["learning_rate"] * factor)
+
+    def scale_disc_lr(self, factor: float) -> None:
+        """Milestone decay of the discriminator LR (the reference's
+        MultiStepLR at 50%/75%, train_vqvae_celebhq.py)."""
+        self._scale_lr(self.opt_d, factor)
+
+    def scale_gen_lr(self, factor: float) -> None:
+        """Plateau-style decay hook for the generator LR."""
+        self._scale_lr(self.opt_g, factor)
