@@ -23,7 +23,6 @@ module graphs (SURVEY.md §7 design pillars).
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Type
 

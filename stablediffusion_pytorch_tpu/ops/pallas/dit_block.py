@@ -74,7 +74,6 @@ def fused_adaln_mlp(x, shift, scale, gate, w1, b1, w2, b2,
     b1p = jnp.pad(b1, (0, fp - f)).reshape(1, fp)
     b2p = jnp.pad(b2, (0, hp - h)).reshape(1, hp)
 
-    const = lambda *idx: tuple(0 for _ in idx)
     out = pl.pallas_call(
         functools.partial(_kernel, h_true=h, eps=1e-6),
         out_shape=jax.ShapeDtypeStruct((b, np_, hp), x.dtype),

@@ -16,7 +16,7 @@ import json
 import numpy as np
 from flax import nnx
 
-from stablediffusion_pytorch_tpu.cim.progressive import ProgressiveTrain, _walk
+from stablediffusion_pytorch_tpu.cim.progressive import _walk
 from stablediffusion_pytorch_tpu.models import DIT, Unet, VQVAE
 from stablediffusion_pytorch_tpu.tools.train_qat import MODEL_PRESETS
 
