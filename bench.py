@@ -57,14 +57,16 @@ def main():
 
     np.asarray(denoise_chain(state, x, t, mask))  # warmup + fetch
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    # the chip is shared and run-to-run variance is ~2x (PERF.md): report
+    # the median of 5 independent reps
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         out = denoise_chain(state, x, t, mask)
         np.asarray(out[:1, :1, :1])  # force completion via host fetch
-    dt = time.perf_counter() - t0
+        rates.append(SCAN_STEPS / (time.perf_counter() - t0))
 
-    steps_per_sec = SCAN_STEPS * reps / dt
+    steps_per_sec = sorted(rates)[len(rates) // 2]
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
