@@ -24,7 +24,12 @@ from stablediffusion_pytorch_tpu.tools.train_qat import MODEL_PRESETS
 
 def attention_ops(model, seq_len: int) -> dict:
     """Analytic QK^T + AV matmul ops per attention module
-    (reference: Model_DiT_9L_ops_analyzer.py:60-100)."""
+    (reference: Model_DiT_9L_ops_analyzer.py:60-100).
+
+    ``seq_len`` is the token count at the model's finest attention level;
+    for UNets with attention at several resolutions this upper-bounds the
+    coarser levels (32^2 vs 16^2/8^2) — exact for DiT, conservative for
+    UNet."""
     out = {}
     from stablediffusion_pytorch_tpu.cim.progressive import _walk
     from stablediffusion_pytorch_tpu.models.common import MultiheadAttention

@@ -54,6 +54,7 @@ log = logging.getLogger("sdtpu")
 
 MODEL_PRESETS = {
     "unet": presets.model_unet,
+    "unet_wo_attention": presets.model_unet_wo_attention,
     "dit_9l": presets.model_dit_9l,
     "dit_12l": presets.model_dit_12l,
 }
