@@ -88,6 +88,9 @@ def ddpm_sample(
         tb = jnp.full((batch,), t, jnp.int32)
         eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
         x_prev, x0 = sample_prev_timestep(sched, x, eps, t, k_step)
+        # f32 coefficient tables promote low-precision latents; keep the
+        # scan carry at the input dtype (bf16 sampling support)
+        x_prev = x_prev.astype(xt.dtype)
         out = (x_prev, x0) if return_trajectory else None
         return (x_prev, k), out
 
@@ -163,6 +166,7 @@ def ddim_sample(
             * eps_theta
             + sigma_t * noise
         )
+        x_prev = x_prev.astype(xt.dtype)  # keep carry dtype (bf16 support)
         return (x_prev, k), (x_prev if return_trajectory else None)
 
     (x_final, _), traj = jax.lax.scan(body, (xt, key), (ts, ts_prev))

@@ -174,3 +174,21 @@ class TestSamplers:
             cond=cond, uncond=uncond, guidance_scale=1.5,
         )
         assert all(b == 6 for b in seen)
+
+
+class TestBf16Sampling:
+    def test_ddim_and_ddpm_accept_bf16_latents(self):
+        """f32 coefficient tables must not change the scan carry dtype
+        (regression: bf16 sampling raised a scan carry TypeError)."""
+        sched = make_compvis_linear_schedule(20, 0.0015, 0.0195)
+
+        def model(x, t, c=None):
+            return jnp.zeros_like(x)
+
+        xt = jnp.ones((2, 8, 8, 4), jnp.bfloat16)
+        out = jax.jit(lambda x, k: ddim_sample(model, sched, x, k, steps=5,
+                                               method="linear"))(xt, jax.random.PRNGKey(0))
+        assert out.dtype == jnp.bfloat16
+        out2 = jax.jit(lambda x, k: ddpm_sample(model, sched, x, k))(
+            xt, jax.random.PRNGKey(1))
+        assert out2.dtype == jnp.bfloat16
