@@ -55,10 +55,11 @@ def sample(args) -> np.ndarray:
     condition_config = dict(cfg.ldm_params).get("condition_config")
     condition_types = (condition_config or {}).get("condition_types", [])
 
-    model = build_denoiser(cfg)
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else None
+    model = build_denoiser(cfg, dtype=dtype)
     if args.ckpt:
         load_model(args.ckpt, model)
-    vqvae = build_vqvae(cfg)
+    vqvae = build_vqvae(cfg, dtype=dtype)
     if args.vqvae_ckpt:
         load_model(args.vqvae_ckpt, vqvae)
 
@@ -118,7 +119,8 @@ def sample(args) -> np.ndarray:
         return m(xt, t, c) if c is not None else m(xt, t)
 
     key, k_init, k_loop = jax.random.split(key, 3)
-    xt = jax.random.normal(k_init, (n, hw, hw, z))
+    xt = jax.random.normal(k_init, (n, hw, hw, z),
+                           dtype or jnp.float32)
 
     kwargs = dict(cond=cond, uncond=uncond if use_cfg else None,
                   guidance_scale=guidance if use_cfg else None)
@@ -161,6 +163,8 @@ def main():
     parser.add_argument("--cf-guidance-scale", type=float, default=None)
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="sample in bfloat16 (~2x on TPU; see PERF.md)")
     parser.add_argument("--output-root", default="runs")
     sample(parser.parse_args())
 
