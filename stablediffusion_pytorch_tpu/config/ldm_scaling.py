@@ -1,95 +1,79 @@
-"""Model-width auto-scaler: shrink the base UNet by a compression factor
-with channel alignment and divisor-compatible head/group counts.
+"""Model-width auto-scaler: shrink the base UNet by a compression factor.
 
-Same algorithm and defaults as reference config/ldm_scaling.py:37-86
-(round-half-up channel scaling to channel_align, mid = [down[-1], down[-2]],
-largest common divisor pick for num_heads / norm_channels). c_factor=2.58
-reproduces the "tc05" model family (Model_DiT_12L_config.py:3).
+Produces the same configs as reference config/ldm_scaling.py:37-86 — scaled
+channels rounded half-up to ``channel_align`` with a floor, mids taken as
+[down[-1], down[-2]], and head/group counts chosen as the largest candidate
+divisor common to every scaled width. ``c_factor=2.58`` reproduces the
+"tc05" model family (Model_DiT_12L_config.py:3). Behavior is pinned by
+tests/test_config.py::TestLdmScaling.
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Sequence
+
+# base CelebHQ UNet geometry (config/celebhq.yaml:12-23)
+BASE_DOWN_CHANNELS = (256, 384, 512, 768)
+BASE_TIME_EMB_DIM = 512
+BASE_CONV_OUT_CHANNELS = 128
+
+HEAD_CANDIDATES = (16, 12, 8, 6, 4, 2, 1)
+GROUP_CANDIDATES = (32, 24, 16, 12, 8, 6, 4, 2, 1)
 
 
-@dataclass(frozen=True)
-class LDMScalingBase:
-    down_channels: Sequence[int] = (256, 384, 512, 768)
-    mid_channels: Sequence[int] = (768, 512)
-    time_emb_dim: int = 512
-    conv_out_channels: int = 128
-    num_heads: int = 16
-    norm_channels: int = 32
+def _round_half_up(value: float, multiple: int, floor: int) -> int:
+    """Round to the nearest multiple (ties up), at least ``floor`` before
+    rounding and one multiple after."""
+    if multiple <= 0 or floor <= 0:
+        raise ValueError("alignment and floor must be positive")
+    target = max(float(value), float(floor))
+    snapped = int((target + multiple / 2.0) // multiple) * multiple
+    return max(multiple, snapped)
 
 
-def _round_to_multiple(value: float, multiple: int, *, min_value: int) -> int:
-    if multiple <= 0:
-        raise ValueError("multiple must be positive")
-    if min_value <= 0:
-        raise ValueError("min_value must be positive")
-    scaled = max(value, float(min_value))
-    rounded = int(math.floor((scaled + multiple / 2.0) / multiple)) * multiple
-    return max(multiple, rounded)
+def _largest_common_divisor(candidates: Sequence[int],
+                            widths: Sequence[int], what: str) -> int:
+    smallest = min(widths)
+    for c in sorted({int(c) for c in candidates if c > 0}, reverse=True):
+        if c <= smallest and all(w % c == 0 for w in widths):
+            return c
+    raise ValueError(f"no {what} candidate divides all of {widths}")
 
 
-def _pick_divisor(candidates: Iterable[int], values: Sequence[int], *, name: str) -> int:
-    for candidate in sorted({int(c) for c in candidates if c > 0}, reverse=True):
-        if candidate > min(values):
-            continue
-        if all(val % candidate == 0 for val in values):
-            return candidate
-    raise ValueError(f"Unable to pick {name} for values {values}")
-
-
-def build_ldm_scaling(
-    c_factor: float,
-    *,
-    channel_align: int = 16,
-    min_channel: int = 32,
-    time_align: int = 16,
-    base: LDMScalingBase = LDMScalingBase(),
-    head_candidates: Sequence[int] = (16, 12, 8, 6, 4, 2, 1),
-    group_candidates: Sequence[int] = (32, 24, 16, 12, 8, 6, 4, 2, 1),
-) -> Dict[str, object]:
+def build_ldm_scaling(c_factor: float, *, channel_align: int = 16,
+                      min_channel: int = 32, time_align: int = 16,
+                      base=None, head_candidates=HEAD_CANDIDATES,
+                      group_candidates=GROUP_CANDIDATES) -> Dict[str, object]:
+    """Scale the base UNet widths down by ``c_factor`` (>1 shrinks)."""
     if c_factor <= 0:
         raise ValueError("c_factor must be > 0")
-    if channel_align <= 0 or time_align <= 0:
-        raise ValueError("Align values must be positive")
 
-    def scale_channels(values: Sequence[int]) -> List[int]:
-        return [
-            _round_to_multiple(v / c_factor, channel_align, min_value=min_channel)
-            for v in values
-        ]
+    base_down = tuple(getattr(base, "down_channels", BASE_DOWN_CHANNELS)) \
+        if base is not None else BASE_DOWN_CHANNELS
+    base_temb = getattr(base, "time_emb_dim", BASE_TIME_EMB_DIM) \
+        if base is not None else BASE_TIME_EMB_DIM
+    base_cout = getattr(base, "conv_out_channels", BASE_CONV_OUT_CHANNELS) \
+        if base is not None else BASE_CONV_OUT_CHANNELS
 
-    down_channels = scale_channels(base.down_channels)
-    mid_channels = [down_channels[-1], down_channels[-2]]
+    down = [_round_half_up(c / c_factor, channel_align, min_channel)
+            for c in base_down]
+    mid = [down[-1], down[-2]]
 
-    conv_out_channels = _round_to_multiple(
-        base.conv_out_channels / c_factor,
-        channel_align,
-        min_value=min_channel // 2 if min_channel > channel_align else channel_align,
-    )
+    cout_floor = (min_channel // 2 if min_channel > channel_align
+                  else channel_align)
+    conv_out = _round_half_up(base_cout / c_factor, channel_align, cout_floor)
 
-    time_emb_dim = _round_to_multiple(
-        base.time_emb_dim / c_factor, time_align, min_value=time_align
-    )
-    if time_emb_dim % 2 != 0:
-        time_emb_dim += time_align
-
-    channels_for_heads: Tuple[int, ...] = tuple(down_channels + list(mid_channels))
-    num_heads = _pick_divisor(head_candidates, channels_for_heads, name="num_heads")
-
-    channels_for_groups = tuple(down_channels + list(mid_channels) + [conv_out_channels])
-    norm_channels = _pick_divisor(group_candidates, channels_for_groups, name="norm_channels")
+    temb = _round_half_up(base_temb / c_factor, time_align, time_align)
+    if temb % 2:
+        temb += time_align
 
     return {
-        "down_channels": down_channels,
-        "mid_channels": mid_channels,
-        "time_emb_dim": time_emb_dim,
-        "conv_out_channels": conv_out_channels,
-        "num_heads": num_heads,
-        "norm_channels": norm_channels,
+        "down_channels": down,
+        "mid_channels": mid,
+        "time_emb_dim": temb,
+        "conv_out_channels": conv_out,
+        "num_heads": _largest_common_divisor(head_candidates, down + mid,
+                                             "num_heads"),
+        "norm_channels": _largest_common_divisor(
+            group_candidates, down + mid + [conv_out], "norm_channels"),
     }
