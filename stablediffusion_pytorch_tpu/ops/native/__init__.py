@@ -20,11 +20,15 @@ log = logging.getLogger("sdtpu")
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "bitsplit.cpp")
-_LIB_PATH = os.path.join(_DIR, "_bitsplit.so")
+# build OUTSIDE the package: a bare .so inside a package dir looks like a
+# broken CPython extension module to importers/pkgutil
+_CACHE = os.path.join(os.path.expanduser("~"), ".cache", "sdtpu")
+_LIB_PATH = os.path.join(_CACHE, "libbitsplit.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> str:
+    os.makedirs(_CACHE, exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
            "-o", _LIB_PATH]
     log.info("building native bitsplit: %s", " ".join(cmd))
