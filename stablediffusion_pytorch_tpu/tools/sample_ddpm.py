@@ -124,13 +124,17 @@ def sample(args) -> np.ndarray:
 
     kwargs = dict(cond=cond, uncond=uncond if use_cfg else None,
                   guidance_scale=guidance if use_cfg else None)
+    save_traj = getattr(args, "save_trajectory", False)
     if args.sampler == "ddim":
-        x0 = jax.jit(lambda x, k: ddim_sample(
+        res = jax.jit(lambda x, k: ddim_sample(
             model_fn, sched, x, k, steps=args.steps, method=args.method,
-            eta=args.eta, **kwargs))(xt, k_loop)
+            eta=args.eta, return_trajectory=save_traj, **kwargs))(xt, k_loop)
+        x0, traj = (res if save_traj else (res, None))
     else:
-        x0 = jax.jit(lambda x, k: ddpm_sample(
-            model_fn, sched, x, k, **kwargs))(xt, k_loop)
+        res = jax.jit(lambda x, k: ddpm_sample(
+            model_fn, sched, x, k, return_trajectory=save_traj,
+            **kwargs))(xt, k_loop)
+        x0, traj = ((res[0], res[1][1]) if save_traj else (res, None))
 
     vq_graphdef, vq_state = nnx.split(vqvae)
     imgs = jax.jit(lambda s, z_: nnx.merge(vq_graphdef, s).decode(z_))(
@@ -142,6 +146,21 @@ def sample(args) -> np.ndarray:
     save_image_grid(out_path, list(imgs),
                     nrow=tc.get("num_grid_rows", min(8, n)))
     log.info("wrote %s", out_path)
+
+    if traj is not None:
+        # per-step x0/latent grids in the latent's first 3 channels, the
+        # reference's per-step grid dumps
+        # (tools/sample_ddpm_text_image_cond.py:94-107)
+        traj_dir = os.path.join(args.output_root, tc["task_name"], "samples",
+                                f"trajectory_{args.sampler}")
+        stride = max(1, traj.shape[0] // 20)
+        for i in range(0, traj.shape[0], stride):
+            frame = np.asarray(jnp.clip(traj[i][..., :3], -1, 1),
+                               np.float32)
+            save_image_grid(os.path.join(traj_dir, f"step_{i:04d}.png"),
+                            list(frame), nrow=min(8, n))
+        log.info("wrote %d trajectory grids to %s",
+                 len(range(0, traj.shape[0], stride)), traj_dir)
     return imgs
 
 
@@ -163,6 +182,8 @@ def main():
     parser.add_argument("--cf-guidance-scale", type=float, default=None)
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--save-trajectory", action="store_true",
+                        help="dump per-step grids (reference behavior)")
     parser.add_argument("--bf16", action="store_true",
                         help="sample in bfloat16 (~2x on TPU; see PERF.md)")
     parser.add_argument("--output-root", default="runs")
