@@ -635,14 +635,21 @@ class _CimArrayMixin(_AddaState):
 
     def _init_cim(self, array_size: Tuple[int, int]):
         self.array_size = tuple(int(v) for v in array_size)
-        # per-column ADC gain/offset noise, seeded per layer
-        # (reference: layers_utils_adda.py:100-116)
-        key = jax.random.PRNGKey(self.seed)
-        k1, k2 = jax.random.split(key)
-        self._gain_noise = np.asarray(
-            jax.random.normal(k1, (4096,))) * 1.0  # scaled at use time
-        self._offset_noise = np.asarray(jax.random.normal(k2, (4096,)))
+        self._adc_noise_cache = {}
         self.weight_mapping_info = None  # filled by the weight mapper
+
+    def _adc_noise(self, nc: int, ca: int):
+        """Per-column ADC gain/offset noise, seeded per layer and sized to
+        the actual column-block grid (reference: layers_utils_adda.py:100-116).
+        Generated on demand so layers of any width work — no fixed-size
+        buffer cap. Deterministic per (layer seed, grid shape)."""
+        cached = self._adc_noise_cache.get((nc, ca))
+        if cached is None:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+            cached = (np.asarray(jax.random.normal(k1, (nc, ca))),
+                      np.asarray(jax.random.normal(k2, (nc, ca))))
+            self._adc_noise_cache[(nc, ca)] = cached
+        return cached
 
     def enable_multi_gains(self) -> int:
         """Per-column-block learned ADC gains instead of one scalar
@@ -682,10 +689,9 @@ class _CimArrayMixin(_AddaState):
             adc_scale = adc_scale.reshape(1, 1, 1, 1, nc, 1)
         out = adc_scale * out
         if self.gain_noise_scale or self.offset_noise_scale:
-            gn = jnp.asarray(self._gain_noise[:nc * ca]).reshape(nc, ca) \
-                * self.gain_noise_scale
-            on = jnp.asarray(self._offset_noise[:nc * ca]).reshape(nc, ca) \
-                * self.offset_noise_scale
+            gn_base, on_base = self._adc_noise(nc, ca)
+            gn = jnp.asarray(gn_base) * self.gain_noise_scale
+            on = jnp.asarray(on_base) * self.offset_noise_scale
             noised = out * (1.0 + gn) + self.adc_range * on
             out = out + jax.lax.stop_gradient(noised - out)
         out = jnp.clip(out, -self.adc_range - 1, self.adc_range)
@@ -763,10 +769,11 @@ class LinearLsqAddaCim(_QuantLinearBase, _CimArrayMixin):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
+        nk = self._noise_key(x) if self.noise_scale else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w2d = self.kernel[...]
-        w2d, w_scale = self._weight_q(w2d, isint=True)
+        w2d, w_scale = self._weight_q(w2d, isint=True, noise_key=nk)
 
         lead = slices.shape[:-1]
         flat = slices.reshape(slices.shape[0], -1, 1, slices.shape[-1])

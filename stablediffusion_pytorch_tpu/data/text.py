@@ -91,11 +91,17 @@ class CLIPTextEncoder(nnx.Module):
         ])
         self.ln_final = nnx.LayerNorm(width, dtype=dtype, rngs=rngs)
 
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: jax.Array | None = None) -> jax.Array:
         n = input_ids.shape[1]
         x = self.token_embedding(input_ids)
         x = x + self.position_embedding(jnp.arange(n))[None]
         mask = jnp.triu(jnp.full((n, n), -1e9, x.dtype), k=1)[None, None]
+        if attention_mask is not None:
+            # HF CLIPTextModel combines the causal mask with the padding
+            # mask (keys at padded positions masked out for every query)
+            pad = (1.0 - attention_mask.astype(x.dtype)) * -1e9
+            mask = mask + pad[:, None, None, :]
         for blk in self.blocks:
             x = blk(x, mask)
         return self.ln_final(x)
@@ -137,36 +143,51 @@ _WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
 
 class HashTokenizer:
     """Deterministic whitespace/punct tokenizer hashing words into the CLIP
-    vocab range; BOS=49406 EOS=49407 PAD=EOS like CLIP."""
+    vocab range; BOS=49406 EOS=49407 PAD=EOS like CLIP. Explicit fallback
+    for environments with no vocab files — token ids do NOT match CLIP BPE;
+    use ClipBpeTokenizer (data/clip_bpe.py) whenever a vocab is present."""
 
+    kind = "hash-fallback"
     bos_id = 49406
     eos_id = 49407
 
     def __init__(self, vocab: int = CLIP_VOCAB, max_len: int = CLIP_MAX_LEN):
         self.vocab = vocab
         self.max_len = max_len
+        self.pad_id = self.eos_id
 
     def _word_id(self, word: str) -> int:
         h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
         return h % (self.vocab - 2)  # keep bos/eos reserved
 
-    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+    def __call__(self, texts: Sequence[str], return_mask: bool = False):
         out = np.full((len(texts), self.max_len), self.eos_id, np.int32)
+        mask = np.zeros((len(texts), self.max_len), np.int32)
         for i, t in enumerate(texts):
             words = _WORD_RE.findall(t.lower())[: self.max_len - 2]
             ids = [self.bos_id] + [self._word_id(w) for w in words] + [self.eos_id]
             out[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1
+        if return_mask:
+            return out, mask
         return out
 
 
 def get_tokenizer_and_model(model_type: str = "clip", *,
                             weights_path: str | None = None,
+                            tokenizer_path: str | None = None,
                             rngs: nnx.Rngs | None = None
-                            ) -> Tuple[HashTokenizer, CLIPTextEncoder]:
+                            ) -> Tuple[object, CLIPTextEncoder]:
     """Build (tokenizer, text encoder). Reference contract:
     utils/text_utils.py:5-21 ('clip' -> local CLIPTextModel 512-d,
-    'bert' -> DistilBERT 768-d). With no local weights the encoder is
-    deterministic-random but fully functional."""
+    'bert' -> DistilBERT 768-d).
+
+    Tokenizer: real CLIP byte-level BPE whenever a local vocab directory
+    (vocab.json + merges.txt) is found via ``tokenizer_path``, the
+    SDTPU_CLIP_TOKENIZER env var, or the reference's default
+    ``models/clip-vit-b16`` layout; otherwise the HashTokenizer fallback.
+    Encoder: deterministic-random unless ``weights_path`` provides an HF
+    torch state_dict."""
     assert model_type in ("clip", "bert"), \
         "Text model can only be one of clip or bert"
     rngs = rngs or nnx.Rngs(0)
@@ -175,28 +196,56 @@ def get_tokenizer_and_model(model_type: str = "clip", *,
     else:
         model = CLIPTextEncoder(width=BERT_WIDTH, layers=6, heads=12,
                                 vocab=30522, max_len=CLIP_MAX_LEN, rngs=rngs)
+    model.pretrained = False
     if weights_path and os.path.exists(weights_path):
         import torch
 
         state = torch.load(weights_path, map_location="cpu", weights_only=True)
         load_hf_clip_weights(model, {k: v.numpy() for k, v in state.items()})
+        model.pretrained = True
         log.info("Loaded %s text-encoder weights from %s", model_type, weights_path)
     else:
         log.warning(
             "%s text encoder running with deterministic random weights "
             "(no pretrained checkpoint in this zero-egress environment); "
             "pass weights_path= for production conditioning", model_type)
-    tokenizer = HashTokenizer(vocab=model.token_embedding.embedding[...].shape[0])
+
+    from .clip_bpe import ClipBpeTokenizer, find_clip_vocab
+
+    vocab_dir = find_clip_vocab([tokenizer_path] if tokenizer_path else [])
+    if model_type == "clip" and vocab_dir:
+        tokenizer = ClipBpeTokenizer.from_pretrained(vocab_dir)
+        log.info("CLIP BPE tokenizer loaded from %s", vocab_dir)
+    else:
+        if model_type == "clip":
+            log.warning(
+                "No CLIP vocab.json/merges.txt found — using the hash "
+                "tokenizer fallback (ids will NOT match CLIP BPE). Set "
+                "SDTPU_CLIP_TOKENIZER to a checkpoint dir to fix.")
+        tokenizer = HashTokenizer(
+            vocab=model.token_embedding.embedding[...].shape[0])
     return tokenizer, model
 
 
+def text_provenance(tokenizer, model) -> dict:
+    """Provenance stamp for run artifacts: which text stack produced the
+    embeddings (VERDICT W6 — substitutions must be visible in outputs)."""
+    return {
+        "tokenizer": getattr(tokenizer, "kind", type(tokenizer).__name__),
+        "text_encoder": ("pretrained" if getattr(model, "pretrained", False)
+                         else "random-init"),
+    }
+
+
 def get_text_representation(texts: Sequence[str] | str,
-                            tokenizer: HashTokenizer,
+                            tokenizer,
                             model: CLIPTextEncoder,
                             max_length: int = CLIP_MAX_LEN) -> jax.Array:
-    """Tokenize (pad/truncate to 77) and return last_hidden_state.
-    Reference: utils/text_utils.py:24-33."""
+    """Tokenize (pad/truncate to 77, PAD=EOS, attention-masked) and return
+    last_hidden_state. Reference: utils/text_utils.py:24-33."""
     if isinstance(texts, str):
         texts = [texts]
-    ids = jnp.asarray(tokenizer(list(texts))[:, :max_length])
-    return model(ids)
+    ids, mask = tokenizer(list(texts), return_mask=True)
+    ids = jnp.asarray(ids[:, :max_length])
+    mask = jnp.asarray(mask[:, :max_length])
+    return model(ids, attention_mask=mask)

@@ -121,23 +121,26 @@ class LPIPS(nnx.Module):
         return total
 
 
-def load_torch_lpips_weights(model: LPIPS, vgg_state: dict,
+def load_torch_lpips_weights(model: LPIPS, vgg_state: Optional[dict],
                              lpips_state: Optional[dict] = None) -> LPIPS:
     """Port torch weights: ``vgg_state`` = torchvision vgg16 state_dict
     (``features.N.weight/bias``), ``lpips_state`` = richzhang LPIPS v0.1
     state_dict (``lin{i}.model.1.weight``). Torch conv OIHW -> HWIO."""
     conv_torch_idx = [i for i, v in enumerate(
         _expanded_torch_layers()) if v == "conv"]
-    for conv, ti in zip(model.net.convs, conv_torch_idx):
-        w = np.asarray(vgg_state[f"features.{ti}.weight"])
-        b = np.asarray(vgg_state[f"features.{ti}.bias"])
-        conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))
-        conv.bias.value = jnp.asarray(b)
+    if vgg_state is not None:
+        for conv, ti in zip(model.net.convs, conv_torch_idx):
+            w = np.asarray(vgg_state[f"features.{ti}.weight"])
+            b = np.asarray(vgg_state[f"features.{ti}.bias"])
+            conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))
+            conv.bias.value = jnp.asarray(b)
     if lpips_state is not None:
         for i, lin in enumerate(model.lins):
             w = np.asarray(lpips_state[f"lin{i}.model.1.weight"])  # (1,C,1,1)
             lin.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))
-    model._pretrained = True
+    # only a real VGG backbone makes the perceptual distance calibrated;
+    # lin heads alone still run over random features
+    model._pretrained = vgg_state is not None
     return model
 
 
@@ -152,24 +155,60 @@ def _expanded_torch_layers():
     return seq
 
 
-def load_lpips(weights_path: Optional[str] = None, *, rngs=None) -> LPIPS:
-    """Build LPIPS, loading torch weights from ``weights_path`` (a .pth with
-    either the combined LPIPS state or separate vgg/lin entries) if given."""
+def remap_richzhang_keys(state: dict) -> dict:
+    """Normalize a richzhang-LPIPS-style state dict to torchvision key space.
+
+    The richzhang ``lpips.LPIPS`` module builds each ``net.sliceK`` Sequential
+    by ``add_module(str(x), vgg_pretrained_features[x])`` — the inner index
+    ``x`` is torchvision's ABSOLUTE ``features`` index, not a slice-local one.
+    So ``net.slice2.5.weight`` maps to ``features.5.weight`` directly; the
+    slice number is dropped (reference: models/lpips.py:29-47).
+
+    Lin-head keys are normalized to ``lin{i}.model.1.weight`` (richzhang
+    ships them as either that or ``lins.{i}.model.1.weight``).
+    """
+    import re
+
+    out = {}
+    for k, v in state.items():
+        m = re.match(r"net\.slice\d+\.(\d+)\.(weight|bias)$", k)
+        if m:
+            out[f"features.{m.group(1)}.{m.group(2)}"] = v
+            continue
+        m = re.match(r"lins?\.?(\d+)\.model\.1\.weight$", k)
+        if m:
+            out[f"lin{m.group(1)}.model.1.weight"] = v
+            continue
+        out[k] = v
+    return out
+
+
+def load_lpips(weights_path: Optional[str] = None, *, rngs=None,
+               vgg_path: Optional[str] = None) -> LPIPS:
+    """Build LPIPS, loading torch weights if given.
+
+    ``weights_path`` accepts any of: a full richzhang LPIPS state dict
+    (``net.sliceK.N.*`` + lin heads), a torchvision vgg16 state dict
+    (``features.N.*``), or the richzhang ``weights/v0.1/vgg.pth`` (lin heads
+    only — pass the VGG backbone separately via ``vgg_path``)."""
     model = LPIPS(rngs=rngs or nnx.Rngs(0))
-    if weights_path:
+    if weights_path or vgg_path:
         import torch  # CPU torch is available in this image
 
-        state = torch.load(weights_path, map_location="cpu", weights_only=True)
-        state = {k: v.numpy() for k, v in state.items()}
-        vgg_state = {k.replace("net.slice", "features."): v
-                     for k, v in state.items()} if any(
-            k.startswith("net.") for k in state) else state
+        state = {}
+        for path in filter(None, (vgg_path, weights_path)):
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+            state.update({k: v.numpy() for k, v in raw.items()})
+        state = remap_richzhang_keys(state)
+        vgg_state = {k: v for k, v in state.items()
+                     if k.startswith("features.")}
         lin_state = {k: v for k, v in state.items() if k.startswith("lin")}
         try:
-            load_torch_lpips_weights(model, vgg_state, lin_state or None)
-        except KeyError:
-            log.warning("LPIPS: could not map %s; using random features",
-                        weights_path)
+            load_torch_lpips_weights(model, vgg_state or None,
+                                     lin_state or None)
+        except KeyError as e:
+            log.warning("LPIPS: could not map %s (missing %s); "
+                        "using random features", weights_path, e)
     else:
         log.warning(
             "LPIPS: no pretrained VGG16 weights available (zero-egress "

@@ -1,48 +1,59 @@
 """Condition-config validation helpers.
 
-Same contracts as reference utils/config_utils.py:1-40, adapted to NHWC
-(the image-condition spatial check reads axis 1/2 instead of 2/3).
+Same contracts as reference utils/config_utils.py:1-40, re-expressed for
+this framework: a generic required-key checker drives the per-condition
+validators, and the image spatial check reads NHWC axes 1/2 (the reference
+is NCHW and reads 2/3).
 """
 
 
+def _require(mapping, key, where):
+    if key not in mapping:
+        raise KeyError(f"'{key}' is required in the {where} but was not set")
+    return mapping[key]
+
+
 def validate_class_config(condition_config):
-    assert "class_condition_config" in condition_config, \
-        "Class conditioning desired but class condition config missing"
-    assert "num_classes" in condition_config["class_condition_config"], \
-        "num_class missing in class condition config"
+    sub = _require(condition_config, "class_condition_config",
+                   "condition config when 'class' conditioning is enabled")
+    _require(sub, "num_classes", "class condition config")
 
 
 def validate_text_config(condition_config):
-    assert "text_condition_config" in condition_config, \
-        "Text conditioning desired but text condition config missing"
-    assert "text_embed_dim" in condition_config["text_condition_config"], \
-        "text_embed_dim missing in text condition config"
+    sub = _require(condition_config, "text_condition_config",
+                   "condition config when 'text' conditioning is enabled")
+    _require(sub, "text_embed_dim", "text condition config")
 
 
 def validate_image_config(condition_config):
-    assert "image_condition_config" in condition_config, \
-        "Image conditioning desired but image condition config missing"
-    assert "image_condition_input_channels" in condition_config["image_condition_config"], \
-        "image_condition_input_channels missing in image condition config"
-    assert "image_condition_output_channels" in condition_config["image_condition_config"], \
-        "image_condition_output_channels missing in image condition config"
+    sub = _require(condition_config, "image_condition_config",
+                   "condition config when 'image' conditioning is enabled")
+    _require(sub, "image_condition_input_channels", "image condition config")
+    _require(sub, "image_condition_output_channels", "image condition config")
 
 
 def validate_image_conditional_input(cond_input, x):
-    assert "image" in cond_input, \
-        "Model initialized with image conditioning but cond_input has no image information"
-    assert cond_input["image"].shape[0] == x.shape[0], \
-        "Batch size mismatch of image condition and input"
-    assert cond_input["image"].shape[1] % x.shape[1] == 0, \
-        "Height/Width of image condition must be divisible by latent input"
+    mask = _require(cond_input, "image",
+                    "cond_input for an image-conditioned model")
+    if mask.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"image condition batch {mask.shape[0]} != latent batch "
+            f"{x.shape[0]}")
+    if mask.shape[1] % x.shape[1] != 0:  # NHWC: axis 1 = height
+        raise ValueError(
+            f"image condition height {mask.shape[1]} must be an integer "
+            f"multiple of the latent height {x.shape[1]}")
 
 
 def validate_class_conditional_input(cond_input, x, num_classes):
-    assert "class" in cond_input, \
-        "Model initialized with class conditioning but cond_input has no class information"
-    assert cond_input["class"].shape == (x.shape[0], num_classes), \
-        "Shape of class condition input must match (Batch Size, num_classes)"
+    onehot = _require(cond_input, "class",
+                      "cond_input for a class-conditioned model")
+    expect = (x.shape[0], num_classes)
+    if tuple(onehot.shape) != expect:
+        raise ValueError(
+            f"class condition shape {tuple(onehot.shape)} != {expect} "
+            f"(batch, num_classes)")
 
 
 def get_config_value(config, key, default_value):
-    return config[key] if key in config else default_value
+    return config.get(key, default_value)

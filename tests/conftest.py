@@ -19,5 +19,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite is compile-bound (VERDICT W8), and
+# most programs are identical run-over-run. Cache XLA executables to disk so
+# only the first-ever run pays the compile cost.
+_CACHE_DIR = os.path.expanduser("~/.cache/sdtpu/xla_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
