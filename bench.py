@@ -9,12 +9,21 @@ same structure as the DDPM/DDIM samplers), timed around a host fetch of the
 final carry. Chaining + fetch is required for honest numbers here: on the
 tunneled axon TPU, per-dispatch latency is tens of ms and block_until_ready
 returns early, so an unchained loop over-reports by >100x (measured during
-round-1 bring-up). The reference publishes no throughput numbers
-(BASELINE.md), so vs_baseline is null until a measured PyTorch baseline
-exists.
+round-1 bring-up).
+
+vs_baseline: ratio against the measured PyTorch reference baseline in
+BASELINE_MEASURED.json (produced by tools/torch_baseline.py — eager-torch
+DiT-12L forward, same batch/shapes, as-reference 512^2-mask config, on this
+environment's CPU since no CUDA device exists; cross-hardware, methodology
+in PERF.md). Two configurations are reported: the optimized pipeline
+(mask pre-resized to latent res once — numerics-identical, see
+utils.diffusion_utils.resize_mask_to_latent) as the headline, and the
+as-reference per-step 512^2-mask config in "as_reference_mask_fwd_s"
+(VERDICT W9).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -55,23 +64,42 @@ def main():
     # see utils.diffusion_utils.resize_mask_to_latent)
     mask = jnp.zeros((BATCH, 32, 32, 18), jnp.bfloat16)
 
-    np.asarray(denoise_chain(state, x, t, mask))  # warmup + fetch
+    def median_rate(mask_arr):
+        np.asarray(denoise_chain(state, x, t, mask_arr))  # warmup + fetch
+        # the chip is shared and run-to-run variance is ~2x (PERF.md):
+        # report the median of 5 independent reps
+        rates = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = denoise_chain(state, x, t, mask_arr)
+            np.asarray(out[:1, :1, :1])  # force completion via host fetch
+            rates.append(SCAN_STEPS / (time.perf_counter() - t0))
+        return sorted(rates)[len(rates) // 2]
 
-    # the chip is shared and run-to-run variance is ~2x (PERF.md): report
-    # the median of 5 independent reps
-    rates = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = denoise_chain(state, x, t, mask)
-        np.asarray(out[:1, :1, :1])  # force completion via host fetch
-        rates.append(SCAN_STEPS / (time.perf_counter() - t0))
+    steps_per_sec = median_rate(mask)
+    # as-reference workload: full 512^2 mask carried into every step
+    # (the reference interpolates it inside each forward,
+    # /root/reference/models/transformer.py:85-95) — VERDICT W9
+    mask_512 = jnp.zeros((BATCH, 512, 512, 18), jnp.bfloat16)
+    as_ref_steps_per_sec = median_rate(mask_512)
 
-    steps_per_sec = sorted(rates)[len(rates) // 2]
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            torch_fwd_s = json.load(f)["torch_cpu_fwd_per_s"]
+        # cross-hardware ratio: TPU-chip fwd/s over measured torch-CPU fwd/s
+        # (as-reference config on both sides for a like-for-like workload)
+        vs_baseline = round(as_ref_steps_per_sec / torch_fwd_s, 1)
+
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": f"DiT-12L fwd/s (batch {BATCH}, 32x32x4 latents, bf16)",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
+        "as_reference_mask_fwd_s": round(as_ref_steps_per_sec, 3),
+        "baseline_ref": "BASELINE_MEASURED.json (torch CPU; see PERF.md)",
     }))
 
 
