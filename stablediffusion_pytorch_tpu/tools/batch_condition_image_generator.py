@@ -142,6 +142,18 @@ def generate(args):
             Image.fromarray(to_uint8(img)).save(
                 os.path.join(args.out_dir, f"{i}.png"))
         log.info("generated %d/%d", min(s + bs, len(pending)), len(pending))
+
+    # stamp the generated FID set with which encoders were real vs fallback
+    # (VERDICT W6 — a set produced with the hash text encoder must never
+    # read as reference-comparable)
+    from stablediffusion_pytorch_tpu.utils.provenance import (
+        build_stamp, write_sidecar,
+    )
+
+    write_sidecar(os.path.join(args.out_dir, "generation"),
+                  build_stamp(tokenizer=tokenizer, text_model=text_model),
+                  config=args.config, steps=args.steps,
+                  guidance=float(guidance), count=len(pending))
     return args.out_dir
 
 

@@ -39,13 +39,24 @@ def _image_iter(path: str, limit=None, size=None):
 
 
 def evaluate(args) -> float:
+    import json
+
+    from stablediffusion_pytorch_tpu.utils.provenance import (
+        build_stamp, fid_extractor_stamp,
+    )
+
     extractor = default_extractor(args.inception_weights)
     fid = compute_fid(
         _image_iter(args.real_dir, args.limit, args.image_size),
         _image_iter(args.fake_dir, args.limit, args.image_size),
         extractor=extractor, stats_cache=args.stats_cache,
         batch_size=args.batch_size)
-    print(f"FID: {fid:.4f}")
+    stamp = build_stamp(fid_extractor=extractor)
+    comparable = fid_extractor_stamp(extractor) == "inception-v3"
+    # a substituted extractor yields framework-INTERNAL numbers only —
+    # the stamp makes that impossible to miss in logs or parsed output
+    print(json.dumps({"fid": round(fid, 4), "provenance": stamp,
+                      "reference_comparable": comparable}))
     return fid
 
 

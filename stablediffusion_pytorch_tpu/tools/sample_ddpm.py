@@ -75,6 +75,7 @@ def sample(args) -> np.ndarray:
         guidance = tc.get("cf_guidance_scale", 1.0)
     use_cfg = condition_types and guidance is not None and guidance > 1.0
 
+    tokenizer = text_model = None
     if condition_types:
         cond, uncond = {}, {}
         if "text" in condition_types:
@@ -107,9 +108,15 @@ def sample(args) -> np.ndarray:
             uncond["image"] = jnp.zeros_like(mask)
         if "class" in condition_types:
             num_classes = condition_config["class_condition_config"]["num_classes"]
-            cls = args.class_id if args.class_id is not None else 0
-            cond["class"] = jnp.repeat(
-                jax.nn.one_hot(jnp.array([cls]), num_classes), n, axis=0)
+            if args.class_id is not None and args.class_id < 0:
+                # mixed grid: cycle through all classes (row-per-class when
+                # num_grid_rows == num_classes), reference
+                # sample_ddpm_class_cond.py:57-60 samples random classes
+                cls = jnp.arange(n) % num_classes
+            else:
+                cls = jnp.full((n,), args.class_id
+                               if args.class_id is not None else 0)
+            cond["class"] = jax.nn.one_hot(cls, num_classes)
             uncond["class"] = jnp.zeros_like(cond["class"])
 
     graphdef, state = nnx.split(model)
@@ -146,6 +153,16 @@ def sample(args) -> np.ndarray:
     save_image_grid(out_path, list(imgs),
                     nrow=tc.get("num_grid_rows", min(8, n)))
     log.info("wrote %s", out_path)
+
+    from stablediffusion_pytorch_tpu.utils.provenance import (
+        build_stamp, write_sidecar,
+    )
+
+    write_sidecar(out_path,
+                  build_stamp(tokenizer=tokenizer, text_model=text_model),
+                  sampler=args.sampler, steps=args.steps,
+                  guidance=float(guidance), config=args.config,
+                  ckpt=args.ckpt or None, vqvae_ckpt=args.vqvae_ckpt or None)
 
     if traj is not None:
         # per-step x0/latent grids in the latent's first 3 channels, the

@@ -76,8 +76,6 @@ def train(args):
     key = seed_everything(tc.get("seed", 1111))
 
     arts = create_run_artifacts(args.output_root, tc["task_name"])
-    save_config_snapshot_json(arts["run_dir"], cfg)
-
     sched = make_compvis_linear_schedule(dp["num_timesteps"],
                                          dp["beta_start"], dp["beta_end"])
 
@@ -94,6 +92,8 @@ def train(args):
         empty_text_embed = get_text_representation([""], tokenizer, text_model)
     if "class" in condition_types:
         num_classes = condition_config["class_condition_config"]["num_classes"]
+    save_config_snapshot_json(arts["run_dir"], cfg, tokenizer=tokenizer,
+                              text_model=text_model)
 
     model = build_denoiser(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     if getattr(args, "resume", None):

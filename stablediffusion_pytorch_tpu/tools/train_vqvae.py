@@ -46,13 +46,13 @@ def train(args):
     key = seed_everything(tc.get("seed", 1111))
 
     arts = create_run_artifacts(args.output_root, tc["task_name"])
-    save_config_snapshot_json(arts["run_dir"], cfg)
 
     model = build_vqvae(cfg)
     disc = Discriminator(cfg.dataset_params["im_channels"], rngs=nnx.Rngs(1))
     lpips = None
     if float(tc.get("perceptual_weight", 0)) > 0:
         lpips = load_lpips(args.lpips_weights)
+    save_config_snapshot_json(arts["run_dir"], cfg, lpips_model=lpips)
 
     trainer = VqvaeTrainer(model, disc, lpips, tc,
                            noise_scale=args.noise_scale)

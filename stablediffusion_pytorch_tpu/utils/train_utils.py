@@ -47,9 +47,14 @@ def create_run_artifacts(runs_root: str, task_name: str,
     return {"run_dir": run_dir, "ckpt_dir": ckpt_dir, "log_dir": log_dir}
 
 
-def save_config_snapshot_json(run_dir: str, config) -> str:
+def save_config_snapshot_json(run_dir: str, config, **stamp_kwargs) -> str:
     """Serialize every JSON-able entry of the config into
-    config_snapshot.json (reference: train_utils.py:61-111)."""
+    config_snapshot.json (reference: train_utils.py:61-111), plus a
+    substitution-provenance stamp (which text/FID/LPIPS stacks are real vs
+    fallback — VERDICT W6). Pass tokenizer=/text_model=/lpips_model= via
+    ``stamp_kwargs`` when the trainer holds them."""
+    from stablediffusion_pytorch_tpu.utils.provenance import build_stamp
+
     def _clean(obj):
         if isinstance(obj, dict):
             return {str(k): _clean(v) for k, v in obj.items()}
@@ -59,9 +64,11 @@ def save_config_snapshot_json(run_dir: str, config) -> str:
             return obj
         return repr(obj)
 
+    snapshot = _clean(dict(config))
+    snapshot["provenance"] = build_stamp(**stamp_kwargs)
     path = os.path.join(run_dir, "config_snapshot.json")
     with open(path, "w") as f:
-        json.dump(_clean(dict(config)), f, indent=2)
+        json.dump(snapshot, f, indent=2)
     return path
 
 
