@@ -142,12 +142,12 @@ class Unet(nnx.Module):
 
         if self.image_cond:
             validate_image_conditional_input(cond_input, x)
-            im_cond = cond_input["image"].astype(x.dtype)
-            im_cond = jax.image.resize(
-                im_cond,
-                (im_cond.shape[0], x.shape[1], x.shape[2], im_cond.shape[3]),
-                method="nearest",
+            from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+                nearest_resize,
             )
+
+            im_cond = cond_input["image"].astype(x.dtype)
+            im_cond = nearest_resize(im_cond, x.shape[1], x.shape[2])
             im_cond = self.cond_conv_in(im_cond)
             out = self.conv_in_concat(jnp.concatenate([x, im_cond], axis=-1))
         else:

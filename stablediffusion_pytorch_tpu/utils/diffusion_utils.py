@@ -36,6 +36,27 @@ def load_latents(latent_path: str) -> Dict[str, np.ndarray]:
     return latent_maps
 
 
+def nearest_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """``jax.image.resize(method="nearest")`` on NHWC, with an exact
+    strided-slice fast path for integer downsample ratios.
+
+    XLA lowers nearest resize to a gather, which on TPU reads the FULL
+    input through scattered HBM accesses — measured ~5.7 ms/step for the
+    as-reference 512^2 18-ch mask at batch 32 (the bulk of the 3x
+    as-reference bench penalty, VERDICT W9). For integer ratios the TF
+    half-pixel convention picks input index ``i*r + r//2``, so a strided
+    slice is bit-identical (verified vs jax.image.resize) and touches only
+    the selected rows.
+    """
+    b, h, w, c = x.shape
+    if h == out_h and w == out_w:
+        return x
+    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
+        rh, rw = h // out_h, w // out_w
+        return x[:, rh // 2::rh, rw // 2::rw, :]
+    return jax.image.resize(x, (b, out_h, out_w, c), method="nearest")
+
+
 def resize_mask_to_latent(mask: jax.Array, latent_hw: int) -> jax.Array:
     """Pre-resize an NHWC mask condition to the latent resolution (nearest).
 
@@ -46,11 +67,7 @@ def resize_mask_to_latent(mask: jax.Array, latent_hw: int) -> jax.Array:
     at batch 32 costs ~6 ms/step on v5e). The 1x1 cond conv commutes with
     nearest resize, so numerics are identical.
     """
-    if mask.shape[1] == latent_hw and mask.shape[2] == latent_hw:
-        return mask
-    return jax.image.resize(
-        mask, (mask.shape[0], latent_hw, latent_hw, mask.shape[3]),
-        method="nearest")
+    return nearest_resize(mask, latent_hw, latent_hw)
 
 
 def drop_text_condition(text_embed: jax.Array, key: jax.Array,

@@ -203,6 +203,32 @@ class TestDiscriminator:
         assert out.shape[1] == 7  # 64 -> 32 -> 16 -> 8 -> 7 (stride 1, pad 1, k 4)
 
 
+class TestNearestResize:
+    def test_strided_fast_path_matches_jax_image_resize(self):
+        """Integer-ratio nearest downsample must be bit-identical to
+        jax.image.resize (the strided-slice fast path, VERDICT W9 perf)."""
+        from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+            nearest_resize,
+        )
+
+        for (h, w, oh, ow) in [(64, 64, 16, 16), (512, 512, 32, 32),
+                               (48, 96, 16, 32), (33, 33, 11, 11)]:
+            x = jax.random.normal(jax.random.PRNGKey(h + w), (2, h, w, 3))
+            want = jax.image.resize(x, (2, oh, ow, 3), method="nearest")
+            got = nearest_resize(x, oh, ow)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_non_integer_ratio_falls_back(self):
+        from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+            nearest_resize,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, 30, 2))
+        want = jax.image.resize(x, (1, 8, 8, 2), method="nearest")
+        np.testing.assert_array_equal(np.asarray(nearest_resize(x, 8, 8)),
+                                      np.asarray(want))
+
+
 class TestMaskPreResize:
     def test_pre_resized_mask_is_numerically_identical(self):
         """resize_mask_to_latent commutes with the in-model resize + 1x1
