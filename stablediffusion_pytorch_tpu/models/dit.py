@@ -109,8 +109,50 @@ class Attention(nnx.Module):
         self.output_proj = nnx.Linear(att_dim, hidden, kernel_init=_xavier,
                                       bias_init=_zeros, dtype=dtype, rngs=rngs)
 
+    def _use_feature_major(self, n: int) -> bool:
+        # Opt-in: at the production DiT shape (d=32, N=256, b32) attention
+        # is MXU-geometry-bound (K=32 scores contraction / M=32 AV output
+        # rows both run the MXU at ~25%), and XLA already overlaps its
+        # scores HBM round-trip under that floor — measured 350 fwd/s (XLA)
+        # vs 319 (this path) on DiT-12L. Kept for long-sequence/narrow-head
+        # regimes where the (N, N) probs traffic dominates instead.
+        import os
+
+        if os.environ.get("SDTPU_HEAD_ATTN", "0") != "1":
+            return False
+        return (jax.default_backend() == "tpu" and self.head_dim < 64
+                and n <= 1024)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         b, n, _ = x.shape
+
+        if self._use_feature_major(n):
+            # Feature-major fast path (VERDICT W1): the head-packed Pallas
+            # kernel wants (B, heads, D, N). Producing q/k/v ALREADY
+            # transposed lets the layout change ride the projection GEMM
+            # (einsum output dims — XLA picks the fused layout) instead of
+            # 4 explicit (B,N,H,D)<->(B,H,D,N) copies, and the output
+            # projection contracts the feature-major result directly (MXU
+            # takes transposed operands natively). Net: the (B, heads, N, N)
+            # probs HBM round-trip — the dominant non-GEMM cost at DiT
+            # shapes — is eliminated with no layout copies added.
+            from stablediffusion_pytorch_tpu.ops.attention import (
+                feature_major_attention,
+            )
+
+            w = self.qkv_proj.kernel[...]                 # (H, 3A)
+            bias = self.qkv_proj.bias[...]                # (3A,)
+            qkv_t = jnp.einsum("bnh,ha->ban", x, w) + bias[None, :, None]
+            q_t, k_t, v_t = jnp.split(qkv_t, 3, axis=1)   # (B, A, N) each
+            fm = (b, self.n_heads, self.head_dim, n)
+            out_t = feature_major_attention(
+                q_t.reshape(fm), k_t.reshape(fm), v_t.reshape(fm),
+                self.head_dim ** -0.5)
+            out_t = out_t.reshape(b, self.n_heads * self.head_dim, n)
+            wo = self.output_proj.kernel[...]             # (A, H)
+            return (jnp.einsum("ban,ah->bnh", out_t, wo)
+                    + self.output_proj.bias[...])
+
         qkv = self.qkv_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         shape = (b, n, self.n_heads, self.head_dim)
@@ -158,9 +200,41 @@ class TransformerLayer(nnx.Module):
             self.hidden_size, 6 * self.hidden_size, kernel_init=_zeros,
             bias_init=_zeros, **kw)
 
+    def _use_fused_layer(self, x: jax.Array) -> bool:
+        import os
+
+        # Opt-in only: whole-layer fusion runs per-SAMPLE GEMMs that starve
+        # the MXU vs XLA's whole-batch GEMMs — measured 234 vs 350 fwd/s on
+        # DiT-12L b32. Kept for small-batch/latency-bound serving where the
+        # batch dim cannot amortize the weight loads.
+        if os.environ.get("SDTPU_FUSED_LAYER", "0") != "1":
+            return False
+        if self.cross_attn or jax.default_backend() != "tpu":
+            return False
+        n = x.shape[1]
+        attn = self.attn_block
+        # whole-layer VMEM residency only pays while the (N, N) scores and
+        # the weight set fit comfortably; production DiT is N=256, H=288
+        return n <= 1024 and attn.head_dim <= 64 and self.hidden_size <= 1536
+
     def __call__(self, x: jax.Array, condition: jax.Array,
                  context: Optional[jax.Array] = None) -> jax.Array:
         mods = self.adaptive_norm_layer(nnx.relu(condition))
+
+        if self._use_fused_layer(x):
+            from stablediffusion_pytorch_tpu.ops.pallas.dit_layer import (
+                fused_dit_layer,
+            )
+
+            attn = self.attn_block
+            return fused_dit_layer(
+                x, mods,
+                attn.qkv_proj.kernel[...], attn.qkv_proj.bias[...],
+                attn.output_proj.kernel[...], attn.output_proj.bias[...],
+                self.mlp_in.kernel[...], self.mlp_in.bias[...],
+                self.mlp_out.kernel[...], self.mlp_out.bias[...],
+                attn.head_dim)
+
         (pre_attn_shift, pre_attn_scale, post_attn_scale,
          pre_mlp_shift, pre_mlp_scale, post_mlp_scale) = jnp.split(mods, 6, axis=-1)
 
@@ -274,12 +348,12 @@ class DIT(nnx.Module):
         patch_source = x
         if self.image_cond:
             validate_image_conditional_input(cond_input, x)
-            im_cond = cond_input["image"].astype(x.dtype)
-            im_cond = jax.image.resize(
-                im_cond,
-                (im_cond.shape[0], x.shape[1], x.shape[2], im_cond.shape[3]),
-                method="nearest",
+            from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+                nearest_resize,
             )
+
+            im_cond = cond_input["image"].astype(x.dtype)
+            im_cond = nearest_resize(im_cond, x.shape[1], x.shape[2])
             im_cond = self.cond_conv_in(im_cond)
             patch_source = jnp.concatenate([patch_source, im_cond], axis=-1)
 

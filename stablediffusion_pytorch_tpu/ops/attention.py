@@ -61,17 +61,100 @@ def _pallas_attention_bwd(static, res, g):
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _head_packed(q, k, v, scale, nk_true):
+    """Head-packed fused-VMEM kernel (small head dims) with an XLA-derived
+    backward — scores/probs never touch HBM on the forward, and the
+    backward differentiates the mathematically identical einsum formula.
+    Takes/returns the model's token-major (B, N, H, D); transposes to the
+    kernel's feature-major (B, H, D, N) ride XLA (cheap vs the probs
+    round-trip the kernel eliminates — see ops/pallas/head_attention.py)."""
+    from stablediffusion_pytorch_tpu.ops.pallas.head_attention import (
+        head_packed_attention,
+    )
+
+    fm = lambda x: jnp.transpose(x, (0, 2, 3, 1))      # (B,N,H,D)->(B,H,D,N)
+    out = head_packed_attention(fm(q), fm(k), fm(v), scale=scale,
+                                nk_true=nk_true)
+    return jnp.transpose(out, (0, 3, 1, 2))            # back to (B,N,H,D)
+
+
+def _head_packed_fwd(q, k, v, scale, nk_true):
+    return _head_packed(q, k, v, scale, nk_true), (q, k, v)
+
+
+def _head_packed_bwd(scale, nk_true, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_head_packed.defvjp(_head_packed_fwd, _head_packed_bwd)
+
+
+def _xla_attention_fm(q, k, v, scale):
+    """XLA oracle on the feature-major (B, H, D, N) layout."""
+    scores = jnp.einsum("bhdq,bhdk->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhdk->bhdq", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def feature_major_attention(q, k, v, scale):
+    """Attention natively on feature-major (B, heads, D, N) — the layout the
+    head-packed Pallas kernel wants, so callers that can PRODUCE q/k/v
+    transposed (e.g. DiT's fused-QKV projection, where the transpose rides
+    the GEMM) pay zero layout copies. Forward keeps scores/probs in VMEM;
+    backward differentiates the identical XLA formula (exact)."""
+    from stablediffusion_pytorch_tpu.ops.pallas.head_attention import (
+        head_packed_attention,
+    )
+
+    return head_packed_attention(q, k, v, scale=scale, nk_true=k.shape[3])
+
+
+def _fm_fwd(q, k, v, scale):
+    return feature_major_attention(q, k, v, scale), (q, k, v)
+
+
+def _fm_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention_fm(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+feature_major_attention.defvjp(_fm_fwd, _fm_bwd)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _use_head_packed(nq: int, nk: int, d: int) -> bool:
+    # Small head dims (DiT d=32, UNet d=16-48) at short-to-medium sequence
+    # lengths: the head-packed kernel keeps the (N, N) scores in VMEM
+    # (VERDICT W1). At THIS call boundary the inputs are token-major, so
+    # using it costs 4 explicit (B,N,H,D)<->(B,H,D,N) copies — measured
+    # 330 vs 350 fwd/s on DiT-12L, a net LOSS; hence default-off here.
+    # The winning integration produces q/k/v feature-major straight off the
+    # projection GEMM (models/dit.Attention -> feature_major_attention).
+    import os
+
+    if os.environ.get("SDTPU_HEAD_ATTN_TOKEN_MAJOR", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return d < 64 and nq <= 1024 and nk <= 1024
 
 
 def _use_pallas(nq: int, nk: int, d: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # The kernel pads head_dim to 128 lanes, so tiny head dims (UNet 16-48,
-    # DiT 32) waste most of the MXU — measured on v5e, XLA wins ~2x for the
-    # DiT shapes (256 tokens, d=32). Use the Pallas kernel only where the
-    # padding waste is bounded and sequences are long enough to amortize.
+    # The flash kernel pads head_dim to 128 lanes, so it only pays where
+    # the head dim fills them and sequences are long enough to amortize;
+    # shorter/narrower shapes route to the head-packed kernel above.
     return d >= 64 and nq >= 512 and nk >= 1 and d <= 256
 
 
@@ -85,6 +168,9 @@ def scaled_dot_product_attention(
     nk = k.shape[1]
     if scale is None:
         scale = d ** -0.5
+
+    if _use_head_packed(nq, nk, d):
+        return _head_packed(q, k, v, scale, nk)
 
     if not _use_pallas(nq, nk, d):
         return _xla_attention(q, k, v, scale)

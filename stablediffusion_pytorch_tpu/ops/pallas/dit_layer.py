@@ -1,0 +1,248 @@
+"""Fully fused DiT transformer layer (attention + adaLN + MLP) for TPU.
+
+Implements PERF.md roadmap #1/#2: the measured DiT-12L forward spends
+~1.2 ms of a 2.9 ms step in non-GEMM HBM round-trips (affine-free LNs,
+adaLN modulations, attention softmax, residuals, head reshapes), and the
+MLP-only fusion (ops/pallas/dit_block.py) was net-zero because XLA already
+keeps that segment matmul-bound. This kernel absorbs the ENTIRE
+self-attention transformer layer (reference: models/transformer_layer.py:
+6-106 minus the optional cross-attention sub-block, which the DiT-9L/12L
+flagships do not use) into one VMEM residency per batch sample:
+
+    mods = split6(ada)                      # precomputed outside (one GEMM)
+    a    = LN(x) * (1+scale1) + shift1
+    q,k,v = a @ Wq, a @ Wk, a @ Wv          # fused-QKV weights, split
+    attn = softmax(q k^T / sqrt(d)) v       # all heads in-VMEM
+    x    = x + gate1 * (attn @ Wout + bout)
+    m    = LN(x) * (1+scale2) + shift2
+    x    = x + gate2 * (W2 relu(W1 m + b1) + b2)
+
+Head-dim-32 packing (VERDICT W1): instead of padding the 32-wide head dim
+to 128 lanes (the round-1 flash kernel's layout, 4x waste), heads stay
+packed in the 288-lane activation; the attention weight matrices are
+zero-padded from 9 to 12 heads (288 -> 384 lanes) so the in-kernel head
+reshape needs no slicing — the 3 padding heads produce all-zero V and
+all-zero output, and Wout's zero rows drop them exactly.
+
+Grid: one program per batch sample; weight blocks use constant index maps
+so Mosaic keeps them VMEM-resident across the whole batch.
+
+Backward: custom_vjp re-differentiates the mathematically identical jnp
+reference (dit_layer_reference) — exact, and cheap at N=256.
+
+STATUS: compiles and is numerically verified on real TPU (max err ~1e-3 vs
+a 2.4-magnitude f32 oracle). Mosaic's lane-reshape limitation (cannot
+split (N, A) -> (N, heads, d) across lanes) is worked around by running
+the attention FEATURE-MAJOR: q/k/v come off the MXU already transposed
+(dot_general contracting the weight's input dim), and head splits happen
+on the sublane axis. Measured at DiT-12L b32: 234 fwd/s vs 350 for XLA —
+per-SAMPLE GEMMs (grid over batch) cannot match XLA's whole-batch GEMMs,
+so this kernel is OPT-IN (SDTPU_FUSED_LAYER=1) for small-batch /
+latency-bound serving where weight reloads dominate; the default
+production path fuses only the attention segment
+(models/dit.Attention -> ops/attention.feature_major_attention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _layer_kernel(x_ref, mods_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                  bv_ref, wo_ref, bo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  o_ref, *, h_true: int, n_true: int, head_dim: int,
+                  scale: float, eps: float):
+    x = x_ref[0].astype(jnp.float32)                      # (Np, Hp)
+    n_pad, h_pad = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    h_mask = lane < h_true
+
+    def adaln(x, shift, scale_m):
+        # affine-free LN over the TRUE hidden width (pads are zero)
+        mean = jnp.sum(x, axis=-1, keepdims=True) / h_true
+        xc = jnp.where(h_mask, x - mean, 0.0)
+        var = jnp.sum(xc * xc, axis=-1, keepdims=True) / h_true
+        xn = xc * jax.lax.rsqrt(var + eps)
+        return jnp.where(h_mask, xn * (1.0 + scale_m) + shift, 0.0)
+
+    mods = mods_ref[0]                                    # (6, Hp)
+    a = adaln(x, mods[0:1], mods[1:2]).astype(wq_ref.dtype)
+
+    a_pad = wq_ref.shape[1]
+    n_heads = a_pad // head_dim
+    # Mosaic cannot reshape across lanes ((Np, A) -> (Np, heads, d)); the
+    # attention runs FEATURE-MAJOR instead (the head_attention.py layout):
+    # q/k/v are produced transposed straight off the MXU by contracting the
+    # weight's input dim against a's hidden dim (no explicit transposes),
+    # then split on the SUBLANE axis (lanes untouched).
+    def proj_t(w_ref, b_ref):
+        t = jax.lax.dot_general(w_ref[...], a, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t = t + b_ref[...]                                # bias is (A, 1)
+        return t.reshape(n_heads, head_dim, n_pad)        # (heads, d, Np)
+
+    qt = proj_t(wq_ref, bq_ref)
+    kt = proj_t(wk_ref, bk_ref)
+    vt = proj_t(wv_ref, bv_ref)
+
+    scores = jax.lax.dot_general(
+        qt, kt, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale       # (heads, Np, Np)
+    key_lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    scores = jnp.where(key_lane < n_true, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    av_t = jax.lax.dot_general(
+        vt.astype(wo_ref.dtype), probs.astype(wo_ref.dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (heads, d, Np)
+    av_t = av_t.reshape(a_pad, n_pad).astype(wo_ref.dtype)
+    # (Np, Hp) = av^T contracted against wo on the A dim — again transpose-free
+    attn_out = jax.lax.dot_general(
+        av_t, wo_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[...]
+    x = x + mods[2:3] * attn_out
+
+    m = adaln(x, mods[3:4], mods[4:5]).astype(w1_ref.dtype)
+    hid = jnp.dot(m, w1_ref[...], preferred_element_type=jnp.float32)
+    hid = jnp.maximum(hid + b1_ref[...], 0.0).astype(w2_ref.dtype)
+    y = jnp.dot(hid, w2_ref[...], preferred_element_type=jnp.float32)
+    x = x + mods[5:6] * (y + b2_ref[...])
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def _pad_heads(w, b, h_true, hp, head_dim, a_pad):
+    """Pad a (H, heads*d) projection to (Hp, heads_pad*d) with zero columns
+    for the padding heads (and zero rows for the padded hidden lanes).
+    Bias comes back as a (A, 1) COLUMN — the kernel adds it to the
+    feature-major (A, Np) projections."""
+    w = jnp.pad(w, ((0, hp - w.shape[0]), (0, a_pad - w.shape[1])))
+    b = jnp.pad(b, (0, a_pad - b.shape[0])).reshape(a_pad, 1)
+    return w, b
+
+
+def _fused_dit_layer_impl(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
+                          head_dim: int, interpret: bool):
+    b, n, h = x.shape
+    att = wo.shape[0]                       # heads * head_dim
+    f = w1.shape[1]
+    hp = _round_up(h, 128)
+    np_ = _round_up(n, 128)                 # scores' lane dim needs 128
+    fp = _round_up(f, 128)
+    a_pad = _round_up(att, 128)
+    assert a_pad % head_dim == 0
+
+    wq, wk, wv = jnp.split(wqkv, 3, axis=1)
+    bq, bk, bv = jnp.split(bqkv, 3)
+    wq, bq = _pad_heads(wq, bq, h, hp, head_dim, a_pad)
+    wk, bk = _pad_heads(wk, bk, h, hp, head_dim, a_pad)
+    wv, bv = _pad_heads(wv, bv, h, hp, head_dim, a_pad)
+    wop = jnp.pad(wo, ((0, a_pad - att), (0, hp - h)))
+    bop = jnp.pad(bo, (0, hp - h)).reshape(1, hp)
+    w1p = jnp.pad(w1, ((0, hp - h), (0, fp - f)))
+    b1p = jnp.pad(b1, (0, fp - f)).reshape(1, fp)
+    w2p = jnp.pad(w2, ((0, fp - f), (0, hp - h)))
+    b2p = jnp.pad(b2, (0, hp - h)).reshape(1, hp)
+
+    xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, hp - h)))
+    modsp = jnp.pad(mods.reshape(b, 6, h), ((0, 0), (0, 0), (0, hp - h)))
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    per_b = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    nh_pad = a_pad // head_dim
+    out = pl.pallas_call(
+        functools.partial(_layer_kernel, h_true=h, n_true=n,
+                          head_dim=head_dim, scale=head_dim ** -0.5,
+                          eps=1e-6),
+        out_shape=jax.ShapeDtypeStruct((b, np_, hp), x.dtype),
+        grid=(b,),
+        in_specs=[
+            per_b((1, np_, hp)),            # x
+            per_b((1, 6, hp)),              # mods
+            const((hp, a_pad)), const((hp, a_pad)), const((hp, a_pad)),
+            const((a_pad, 1)), const((a_pad, 1)), const((a_pad, 1)),
+            const((a_pad, hp)), const((1, hp)),
+            const((hp, fp)), const((1, fp)),
+            const((fp, hp)), const((1, hp)),
+        ],
+        out_specs=per_b((1, np_, hp)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * np_ * (3 * hp * a_pad + a_pad * hp + 2 * hp * fp)
+            + 4 * b * nh_pad * np_ * np_ * head_dim,
+            bytes_accessed=2 * b * np_ * hp * 2
+            + 2 * (3 * hp * a_pad + a_pad * hp + 2 * hp * fp),
+            transcendentals=b * nh_pad * np_ * np_,
+        ),
+        interpret=interpret,
+    )(xp, modsp, wq, wk, wv, bq, bk, bv, wop, bop, w1p, b1p, w2p, b2p)
+    return out[:, :n, :h]
+
+
+def dit_layer_reference(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
+                        head_dim: int, eps: float = 1e-6):
+    """jnp oracle — same math as models/dit.TransformerLayer (self-attn
+    only), used for tests and as the custom_vjp backward."""
+    b, n, h = x.shape
+    sh1, sc1, g1, sh2, sc2, g2 = [m[:, None] for m in
+                                  jnp.split(mods, 6, axis=-1)]
+
+    def adaln(x, shift, scale):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+        return xn * (1.0 + scale) + shift
+
+    a = adaln(x, sh1, sc1).astype(x.dtype)
+    qkv = a @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    nh = q.shape[-1] // head_dim
+    split_heads = lambda t: t.reshape(b, n, nh, head_dim)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", split_heads(q), split_heads(k))
+    scores = scores.astype(jnp.float32) * head_dim ** -0.5
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    av = jnp.einsum("bhqk,bkhd->bqhd", probs, split_heads(v))
+    x = x.astype(jnp.float32) + g1 * (av.reshape(b, n, -1) @ wo + bo)
+
+    m = adaln(x, sh2, sc2).astype(wqkv.dtype)
+    y = jnp.maximum(m @ w1 + b1, 0.0) @ w2 + b2
+    return (x + g2 * y).astype(wqkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_dit_layer(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
+                    head_dim: int, interpret: bool = False):
+    """One full DiT self-attention transformer layer, fused in VMEM.
+
+    x (B, N, H); mods (B, 6H) = adaptive_norm_layer(relu(t_emb)); wqkv
+    (H, 3*heads*d); wo (heads*d, H); w1 (H, F); w2 (F, H). Returns (B, N, H).
+    """
+    return _fused_dit_layer_impl(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2,
+                                 b2, head_dim, interpret)
+
+
+def _fwd(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2, head_dim, interpret):
+    out = _fused_dit_layer_impl(x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
+                                head_dim, interpret)
+    return out, (x, mods, wqkv, bqkv, wo, bo, w1, b1, w2, b2)
+
+
+def _bwd(head_dim, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *args: dit_layer_reference(*args, head_dim=head_dim), *res)
+    return vjp(g)
+
+
+fused_dit_layer.defvjp(_fwd, _bwd)
