@@ -66,6 +66,11 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
         idx = idx[self.shard_index::self.num_shards]
+        # equalize shard lengths (len(dataset) not divisible by num_shards
+        # leaves early shards one element long): every host MUST yield the
+        # same number of batches or multi-host collectives deadlock —
+        # torch DistributedSampler solves this by padding, we truncate
+        idx = idx[: n // self.num_shards]
         batches = []
         for s in range(0, len(idx), self.batch_size):
             b = idx[s:s + self.batch_size]

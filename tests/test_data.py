@@ -151,6 +151,43 @@ class TestDataLoader:
         total = np.concatenate(seen).reshape(-1)
         assert len(np.concatenate(seen)) == 12  # all samples covered once
 
+    def test_default_shards_follow_jax_process_topology(self, mnist_dir,
+                                                        monkeypatch):
+        """Multi-host contract (VERDICT W7): with no explicit shard args the
+        loader derives its shard from jax.process_index()/process_count(),
+        so each host of a multi-process mesh reads a distinct slice."""
+        import stablediffusion_pytorch_tpu.data.loader as loader_mod
+
+        monkeypatch.setattr(loader_mod.jax, "process_count", lambda: 3)
+        monkeypatch.setattr(loader_mod.jax, "process_index", lambda: 2)
+        ds = MnistDataset("train", mnist_dir)
+        dl = DataLoader(ds, batch_size=2)
+        assert dl.num_shards == 3
+        assert dl.shard_index == 2
+
+    def test_shards_disjoint_and_cover_with_shared_seed(self):
+        """Same seed on every process => same permutation => the strided
+        shard slices are DISJOINT and jointly cover the dataset (the
+        correctness condition for multi-host training epochs)."""
+        class IndexDataset:
+            def __len__(self):
+                return 23
+
+            def __getitem__(self, i):
+                return np.asarray([i], np.int64)
+
+        seen = []
+        for shard in range(2):
+            dl = DataLoader(IndexDataset(), batch_size=2, shuffle=True,
+                            seed=7, num_shards=2, shard_index=shard)
+            shard_ids = [int(x) for b in dl.epoch(3) for x in
+                         np.asarray(b).ravel()]
+            seen.append(set(shard_ids))
+        assert seen[0].isdisjoint(seen[1])
+        # equal truncated length per shard (drop-remainder semantics)
+        assert len(seen[0]) == len(seen[1])
+        assert len(seen[0] | seen[1]) >= 20  # covers all but the remainder
+
     def test_cond_collate(self, celeb_dir):
         ds = CelebDataset("train", celeb_dir, im_size=32,
                           condition_config=CELEB_COND)
