@@ -423,29 +423,37 @@ def _adda_mvm_jnp(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
     return jnp.sum(adc * powv, axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range, w_bit=0):
     """Fused ADDA matmul (M, K) x (K, N): Pallas kernel on TPU, jnp
-    elsewhere; backward always differentiates the jnp/STE formulation."""
-    if jax.default_backend() == "tpu":
-        from stablediffusion_pytorch_tpu.ops.pallas.cim_mvm import (
-            fused_adda_mvm,
-        )
-        from stablediffusion_pytorch_tpu.ops.bit_ops import bit_len_for
+    elsewhere; backward always differentiates the jnp/STE formulation.
 
-        return fused_adda_mvm(
+    ``w_bit`` (static hint) enables the int8-operand kernel when both
+    operands' integer levels provably fit int8 (x_bit <= 8 and
+    0 < w_bit <= 8) — ~4x less HBM traffic and the int8 MXU rate, still
+    bit-exact (VERDICT #9). w_bit=0 means unknown -> f32 kernel."""
+    if jax.default_backend() == "tpu":
+        from stablediffusion_pytorch_tpu.ops.bit_ops import bit_len_for
+        from stablediffusion_pytorch_tpu.ops.pallas.cim_mvm import (
+            fused_adda_mvm, fused_adda_mvm_int8,
+        )
+
+        kern = (fused_adda_mvm_int8 if x_bit <= 8 and 0 < w_bit <= 8
+                else fused_adda_mvm)
+        return kern(
             x_q, w_q, adc_scale, x_bit=x_bit,
             bit_len=bit_len_for(x_bit, slice_bit), slice_bit=slice_bit,
             adc_range=float(adc_range))
     return _adda_mvm_jnp(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range)
 
 
-def _adda_mvm_fwd(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range):
-    return (adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range),
+def _adda_mvm_fwd(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range, w_bit=0):
+    return (adda_mvm(x_q, w_q, adc_scale, x_bit, slice_bit, adc_range,
+                     w_bit),
             (x_q, w_q, adc_scale))
 
 
-def _adda_mvm_bwd(x_bit, slice_bit, adc_range, res, g):
+def _adda_mvm_bwd(x_bit, slice_bit, adc_range, w_bit, res, g):
     x_q, w_q, adc_scale = res
     _, vjp = jax.vjp(
         lambda x, w, s: _adda_mvm_jnp(x, w, s, x_bit, slice_bit, adc_range),
@@ -592,8 +600,13 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
             # fused Pallas path (TPU) / jnp path (CPU), STE backward
             lead = x_q.shape[:-1]
             flat = x_q.reshape(-1, x_q.shape[-1])
+            # int8 kernel only when w is provably integer int8 levels:
+            # quantizer on AND no additive (float) weight noise
+            w_bit_hint = (self.weight_bit
+                          if self.weight_quant and not self.noise_scale
+                          else 0)
             out = adda_mvm(flat, w, adc_scale, self.input_bit,
-                           self.slice_bit, self.adc_range)
+                           self.slice_bit, self.adc_range, w_bit_hint)
             out = out.reshape(lead + (w.shape[1],))
         out = out / w_scale / in_scale / adc_scale
         if self.bias is not None:

@@ -73,6 +73,27 @@ class TestPallasCimKernel:
         ref = self._ref(x, w, 0.04, x_bit, sb, 127.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
 
+    @pytest.mark.parametrize("x_bit,dac_bit", [(8, 5), (8, 3), (5, 5)])
+    def test_int8_kernel_interpret_parity(self, x_bit, dac_bit):
+        """int8-operand kernel (VERDICT #9) is bit-exact vs the oracle —
+        integer sign/abs shifts reproduce trunc-toward-zero exactly."""
+        from stablediffusion_pytorch_tpu.ops.pallas.cim_mvm import (
+            fused_adda_mvm_int8,
+        )
+
+        sb = dac_bit - 1
+        bl = bit_len_for(x_bit, sb)
+        rng = np.random.default_rng(3)
+        half = 2 ** (x_bit - 1) - 1
+        x = jnp.asarray(rng.integers(-half, half + 1, (24, 20)).astype(
+            np.float32))
+        w = jnp.asarray(rng.integers(-7, 8, (20, 12)).astype(np.float32))
+        got = fused_adda_mvm_int8(x, w, jnp.float32(0.04), x_bit=x_bit,
+                                  bit_len=bl, slice_bit=sb, adc_range=127.0,
+                                  block_m=128, block_n=128, interpret=True)
+        ref = self._ref(x, w, 0.04, x_bit, sb, 127.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
     def test_adda_mvm_dispatch_and_gradients(self):
         """custom_vjp wrapper: forward on this backend, grads flow to x, w,
         and adc_scale via the STE formulation."""
