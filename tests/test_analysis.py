@@ -60,20 +60,24 @@ class TestFrechetDistance:
 
 class TestFidPipeline:
     def test_compute_fid_discriminates(self, tmp_path):
+        # 16 images x batch 8: the extractor runs its full 299^2 protocol,
+        # which is ~1 s/image of conv compute on this 1-CPU host — keep the
+        # sets just big enough that the uniform vs uniform^4 gap dominates
+        # the estimator noise (was 48/set = 60 s of suite budget)
         rng = np.random.default_rng(0)
         ext = RandomConvExtractor()
         real = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
-                for _ in range(48)]
+                for _ in range(16)]
         similar = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
-                   for _ in range(48)]
+                   for _ in range(16)]
         different = [np.clip(rng.uniform(0, 1, (32, 32, 3)) ** 4, 0, 1
-                             ).astype(np.float32) for _ in range(48)]
+                             ).astype(np.float32) for _ in range(16)]
         cache = str(tmp_path / "real.npz")
         fid_same = compute_fid(real, similar, extractor=ext,
-                               stats_cache=cache)
+                               stats_cache=cache, batch_size=8)
         # cached stats reused
         fid_diff = compute_fid(real, different, extractor=ext,
-                               stats_cache=cache)
+                               stats_cache=cache, batch_size=8)
         assert fid_diff > fid_same
 
 

@@ -203,6 +203,50 @@ class TestDiscriminator:
         assert out.shape[1] == 7  # 64 -> 32 -> 16 -> 8 -> 7 (stride 1, pad 1, k 4)
 
 
+class TestBatchedAdaln:
+    def test_batched_mods_match_per_layer_adaln(self):
+        """DIT batches all layers' adaLN modulation GEMMs into one; the
+        result must equal running each layer's own adaptive_norm_layer."""
+        from stablediffusion_pytorch_tpu.models.common import (
+            get_time_embedding,
+        )
+
+        model = DIT(4, dict(TINY_DIT), rngs=nnx.Rngs(0))
+        # randomize the zero-init adaLN + proj_out so the check is non-trivial
+        key = jax.random.PRNGKey(5)
+        for i, l in enumerate(model.transformer_layers):
+            l.adaptive_norm_layer.kernel[...] = 0.1 * jax.random.normal(
+                jax.random.fold_in(key, i),
+                l.adaptive_norm_layer.kernel[...].shape)
+        model.adaptive_norm_layer.kernel[...] = 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 99),
+            model.adaptive_norm_layer.kernel[...].shape)
+        model.proj_out.kernel[...] = 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 100), model.proj_out.kernel[...].shape)
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        t = jnp.array([3, 7])
+        got = model(x, t)
+
+        # manual forward with per-layer adaLN (mods=None path)
+        out = model.patch_embed_layer(x)
+        t_emb = get_time_embedding(jnp.atleast_1d(t),
+                                   model.timestep_emb_dim)
+        t_emb = model.t_proj_2(nnx.relu(model.t_proj_1(t_emb)))
+        for layer in model.transformer_layers:
+            out = layer(out, t_emb, None)
+        shift, scale = jnp.split(
+            model.adaptive_norm_layer(nnx.relu(t_emb)), 2, axis=-1)
+        out = model.norm(out) * (1 + scale[:, None]) + shift[:, None]
+        out = model.proj_out(out)
+        b, h, w, _ = x.shape
+        ph = model.patch_height
+        out = out.reshape(b, h // ph, w // ph, ph, ph, 4)
+        want = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+
 class TestNearestResize:
     def test_strided_fast_path_matches_jax_image_resize(self):
         """Integer-ratio nearest downsample must be bit-identical to
