@@ -41,18 +41,25 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices (all by
-    default). Multi-axis meshes (e.g. ('data', 'model')) are supported for
-    forward-compatibility; the reference workloads only need 'data'."""
+              axis_names: Sequence[str] = ("data",),
+              axis_sizes: Optional[Sequence[int]] = None) -> Mesh:
+    """Device mesh over the first ``n_devices`` devices (all by default).
+
+    1-D ('data',) covers the reference's DDP workloads. Multi-axis meshes
+    (e.g. ('data', 'model') for tensor parallelism — see parallel/tp.py)
+    take ``axis_sizes``; with it omitted, all devices go to the LAST axis
+    and leading axes get size 1."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     if len(axis_names) == 1:
         dev_array = np.asarray(devices)
     else:
-        raise NotImplementedError(
-            "multi-axis meshes: pass a pre-shaped device array to jax.sharding.Mesh directly")
+        if axis_sizes is None:
+            axis_sizes = [1] * (len(axis_names) - 1) + [len(devices)]
+        assert int(np.prod(axis_sizes)) == len(devices), (
+            f"axis_sizes {axis_sizes} must multiply to {len(devices)}")
+        dev_array = np.asarray(devices).reshape(axis_sizes)
     return Mesh(dev_array, axis_names)
 
 
