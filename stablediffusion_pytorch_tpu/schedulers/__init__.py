@@ -11,5 +11,6 @@ from stablediffusion_pytorch_tpu.schedulers.samplers import (
     ddpm_sample,
     ddim_sample,
     ddim_timesteps,
+    dpm_solver_sample,
     cfg_blend,
 )

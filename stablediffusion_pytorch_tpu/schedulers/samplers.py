@@ -173,3 +173,65 @@ def ddim_sample(
     if return_trajectory:
         return x_final, traj
     return x_final
+
+
+def dpm_solver_sample(
+    model_fn: ModelFn,
+    sched: LinearNoiseSchedule,
+    xt: jax.Array,
+    steps: int = 20,
+    method: str = "linear",
+    cond: Optional[dict] = None,
+    uncond: Optional[dict] = None,
+    guidance_scale: Optional[float] = None,
+):
+    """DPM-Solver++(2M) — deterministic multistep ODE sampler, one lax.scan.
+
+    BEYOND the reference (which ships DDPM/DDIM only): the second-order
+    multistep solver of Lu et al. 2022 reaches DDIM-100 sample quality in
+    ~15-25 model calls, i.e. ~4-5x fewer denoiser forwards per image on
+    TPU. Data-prediction formulation: with lam = log(a/s), h_i = lam_i -
+    lam_{i-1}, r = h_{i-1}/h_i,
+
+        D   = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}     (first step: D = x0_i)
+        x_i = (s_i/s_{i-1}) x_{i-1} - a_i (exp(-h_i) - 1) D
+
+    where a = sqrt(alpha_cum_prod), s = sqrt(1 - alpha_cum_prod), and
+    x0 = (x - s*eps_theta)/a from the eps-prediction network. Shares the
+    reference's DDIM timestep subsequences and the batched-CFG model call.
+    """
+    ts_np, ts_prev_np = ddim_timesteps(sched.num_timesteps, steps, method)
+    # reversed walk t_hi -> t_lo; each scan step evaluates the model at t
+    # and lands on t_prev
+    ts = np.asarray(ts_np[::-1])
+    ts_prev = np.asarray(ts_prev_np[::-1])
+    acp = np.asarray(sched.alpha_cum_prod)
+    a_t, s_t = np.sqrt(acp[ts]), np.sqrt(1.0 - acp[ts])
+    a_p, s_p = np.sqrt(acp[ts_prev]), np.sqrt(1.0 - acp[ts_prev])
+    lam_t = np.log(a_t / np.maximum(s_t, 1e-12))
+    lam_p = np.log(a_p / np.maximum(s_p, 1e-12))
+    h = lam_p - lam_t                                   # > 0 going down
+    h_prev = np.concatenate([[h[0]], h[:-1]])
+    xs = tuple(
+        jnp.asarray(v, jnp.float32)
+        for v in (a_t, s_t, a_p, s_p, h, h_prev, np.arange(len(ts)))
+    )
+    ts_dev = jnp.asarray(ts.copy(), jnp.int32)
+    batch = xt.shape[0]
+
+    def body(carry, step):
+        x, x0_prev = carry
+        (a_i, s_i, a_pi, s_pi, h_i, h_pi, idx), t = step
+        tb = jnp.full((batch,), t, jnp.int32)
+        eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
+        x0 = (x.astype(jnp.float32) - s_i * eps.astype(jnp.float32)) / a_i
+        r = h_pi / h_i
+        d_multi = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(idx == 0, x0, d_multi)
+        x_new = (s_pi / s_i) * x.astype(jnp.float32) \
+            - a_pi * (jnp.exp(-h_i) - 1.0) * d
+        return (x_new.astype(xt.dtype), x0), None
+
+    (x_final, _), _ = jax.lax.scan(
+        body, (xt, jnp.zeros_like(xt, jnp.float32)), (xs, ts_dev))
+    return x_final

@@ -7,7 +7,7 @@
 
 Usage: ``python -m stablediffusion_pytorch_tpu.tools.sample_ddpm
 --config celebhq_text_image_cond --ckpt <denoiser> --vqvae-ckpt <vqvae>
-[--prompt "..."] [--class-id K] [--sampler ddpm|ddim] [--steps N]
+[--prompt "..."] [--class-id K] [--sampler ddpm|ddim|dpm] [--steps N]
 [--cf-guidance-scale S]``
 
 The reverse loop runs as one jitted lax.scan (DDPM full-T or DDIM few-step,
@@ -132,7 +132,16 @@ def sample(args) -> np.ndarray:
     kwargs = dict(cond=cond, uncond=uncond if use_cfg else None,
                   guidance_scale=guidance if use_cfg else None)
     save_traj = getattr(args, "save_trajectory", False)
-    if args.sampler == "ddim":
+    if args.sampler == "dpm":
+        # DPM-Solver++(2M): deterministic, ~4-5x fewer model calls than
+        # DDIM for the same quality (beyond-reference sampler)
+        from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
+
+        x0 = jax.jit(lambda x: dpm_solver_sample(
+            model_fn, sched, x, steps=args.steps, method=args.method,
+            **kwargs))(xt)
+        traj = None
+    elif args.sampler == "ddim":
         res = jax.jit(lambda x, k: ddim_sample(
             model_fn, sched, x, k, steps=args.steps, method=args.method,
             eta=args.eta, return_trajectory=save_traj, **kwargs))(xt, k_loop)
@@ -188,7 +197,8 @@ def main():
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--vqvae-ckpt", default=None)
     parser.add_argument("--text-weights", default=None)
-    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"],
+                        default="ddpm")
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--method", choices=["linear", "quadratic"],
                         default="quadratic")

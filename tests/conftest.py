@@ -22,6 +22,10 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite is compile-bound (VERDICT W8), and
 # most programs are identical run-over-run. Cache XLA executables to disk so
 # only the first-ever run pays the compile cost.
+# NOTE: a pytest process killed mid-write can leave a truncated cache entry;
+# jax deserializes it without validation and SEGFAULTS in
+# compilation_cache.get_executable_and_time on the next run. If the suite
+# starts segfaulting there, delete ~/.cache/sdtpu/xla_cache.
 _CACHE_DIR = os.path.expanduser("~/.cache/sdtpu/xla_cache")
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

@@ -153,6 +153,71 @@ class TestSamplers:
         expected = np.sqrt(acp[ts_prev[0]] / acp[ts[-1]])
         np.testing.assert_allclose(out, expected * np.ones_like(out), rtol=1e-4)
 
+    def test_dpm_solver_oracle_eps_recovers_x0(self):
+        """With the exact forward-process eps (oracle), every step's x0
+        prediction equals the true x0, so the ODE solver must land on
+        (almost exactly) x0 regardless of step count."""
+        from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
+        from stablediffusion_pytorch_tpu.schedulers.linear import add_noise
+
+        sched = make_compvis_linear_schedule(1000, 0.0015, 0.0195)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+        acp = sched.alpha_cum_prod
+
+        def oracle(xt, t, cond=None):
+            a = jnp.sqrt(acp[t])[:, None, None, None]
+            s = jnp.sqrt(1.0 - acp[t])[:, None, None, None]
+            return (xt - a * x0) / s
+
+        ts, _ = ddim_timesteps(1000, 12, "linear")
+        t_hi = jnp.full((2,), int(ts[-1]), jnp.int32)  # solver's first node
+        eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        xt = add_noise(sched, x0, eps, t_hi)
+        out = jax.jit(lambda x: dpm_solver_sample(oracle, sched, x,
+                                                  steps=12))(xt)
+        # the exact ODE preserves x = a_t x0 + s_t eps-hat along the whole
+        # trajectory; it lands at t=0's (small) noise level acp[0] ~= 0.9985
+        a0 = float(np.sqrt(np.asarray(acp)[0]))
+        s0 = float(np.sqrt(1.0 - np.asarray(acp)[0]))
+        want = a0 * np.asarray(x0) + s0 * np.asarray(eps)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2,
+                                   atol=2e-2)
+
+    def test_dpm_solver_matches_ddim_at_many_steps(self):
+        """Both integrate the same probability-flow ODE: with a smooth
+        model and many steps the trajectories converge to each other."""
+        from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
+
+        sched = make_compvis_linear_schedule(1000, 0.0015, 0.0195)
+        w = jax.random.normal(jax.random.PRNGKey(3), (3, 3)) * 0.1
+
+        def linear_model(xt, t, cond=None):
+            return jnp.einsum("bhwc,cd->bhwd", xt, w) * 0.3
+
+        xt = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 3))
+        dd = ddim_sample(linear_model, sched, xt, jax.random.PRNGKey(5),
+                         steps=200, method="linear", eta=0.0)
+        dp = dpm_solver_sample(linear_model, sched, xt, steps=200,
+                               method="linear")
+        # the stiff toy model amplifies to |x| ~ 250; compare in norm
+        diff = float(np.max(np.abs(np.asarray(dp) - np.asarray(dd))))
+        assert diff < 0.02 * float(np.max(np.abs(np.asarray(dd))))
+
+    def test_dpm_solver_cfg_batched(self):
+        from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
+
+        sched = make_compvis_linear_schedule(100, 0.0015, 0.0195)
+        calls = []
+
+        def spy(xt, t, cond=None):
+            calls.append(xt.shape[0])
+            return jnp.zeros_like(xt)
+
+        xt = jnp.ones((2, 2, 2, 1))
+        dpm_solver_sample(spy, sched, xt, steps=4, cond={"c": jnp.ones((2,))},
+                          uncond={"c": jnp.zeros((2,))}, guidance_scale=2.0)
+        assert all(b == 4 for b in calls)  # 2B batched CFG calls
+
     def test_cfg_blend(self):
         c = jnp.ones((2, 2)) * 3.0
         u = jnp.ones((2, 2)) * 1.0
