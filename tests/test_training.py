@@ -2,6 +2,7 @@
 VQVAE two-optimizer GAN step; sharded data-parallel execution on the 8-device
 CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,6 +146,17 @@ class TestDataParallelStep:
 
 
 class TestMultiStepScan:
+    @pytest.fixture(autouse=True)
+    def _no_persistent_cache(self):
+        """The scan-carried model+optimizer executable trips an XLA
+        CHECK-abort when the persistent compilation cache serializes it
+        (and a truncated entry from that abort then SEGFAULTS the next
+        read) — exclude just these programs from the disk cache."""
+        old = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        yield
+        jax.config.update("jax_compilation_cache_dir", old)
+
     def test_multi_step_trains_and_matches_api(self):
         """S steps in one jitted nnx.scan program (PERF.md dispatch
         amortization). The model/optimizer MUST ride the scan carry —
