@@ -112,9 +112,15 @@ class LdmAndiTrainer(ProgressiveTrain):
         path = os.path.join(self.run_dir, "qat_trajectory.csv")
         import csv
 
+        # fixed schema so later stages (which add ADC gain) stay aligned
+        # with the header written by the first stage
+        fields = ["stage", "cycle", "steps", "mean_loss", "weight_bit",
+                  "input_bit", "noise_scale", "mean_step_size_weight",
+                  "mean_step_size_input", "mean_adc_gain"]
         exists = os.path.exists(path)
         with open(path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(row), extrasaction="ignore")
+            writer = csv.DictWriter(f, fieldnames=fields, restval="",
+                                    extrasaction="ignore")
             if not exists:
                 writer.writeheader()
             writer.writerow(row)
