@@ -146,41 +146,34 @@ class TestDataParallelStep:
 
 
 class TestMultiStepScan:
-    @pytest.fixture(autouse=True)
-    def _no_persistent_cache(self):
-        """The scan-carried model+optimizer executable trips an XLA
-        CHECK-abort when the persistent compilation cache serializes it
-        (and a truncated entry from that abort then SEGFAULTS the next
-        read) — exclude just these programs from the disk cache."""
-        old = jax.config.jax_compilation_cache_dir
-        jax.config.update("jax_compilation_cache_dir", None)
-        yield
-        jax.config.update("jax_compilation_cache_dir", old)
+    """The multi-step scan program (model + optimizer in the carry)
+    intermittently segfaults XLA:CPU when compiled late in a long-lived
+    suite process (observed at backend_compile_and_load and in the
+    persistent-cache serializer; standalone it always passes) — run the
+    scenarios in a fresh interpreter via tests/_multistep_probe.py and
+    assert on the child process."""
+
+    def _probe(self, scenario):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        res = subprocess.run(
+            [sys.executable, os.path.join("tests", "_multistep_probe.py"),
+             scenario],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=420)
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert f"multistep-probe {scenario}: ok" in res.stdout
 
     def test_multi_step_trains_and_matches_api(self):
         """S steps in one jitted nnx.scan program (PERF.md dispatch
-        amortization). The model/optimizer MUST ride the scan carry —
-        regression for the broadcast bug where updates were silently lost:
-        on a fixed batch the loss must actually decrease across chunks."""
-        tr = make_trainer()
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4)) * 0.1
-        stack = jnp.tile(x[None], (15, 1, 1, 1, 1))
-        l1 = tr.train_multi_step(stack, None, jax.random.PRNGKey(1))
-        l2 = tr.train_multi_step(stack, None, jax.random.PRNGKey(2))
-        assert l1.shape == (15,)
-        assert float(l2[-1]) < float(l1[0]) * 0.9, "updates must persist"
-        m = tr.train_step(stack[0], None, jax.random.PRNGKey(3))
-        assert np.isfinite(float(m["loss"]))
+        amortization); on a fixed batch the loss must actually decrease
+        across chunks (regression for the lost-update broadcast bug)."""
+        self._probe("base")
 
     def test_multi_step_with_conditioning(self):
-        tr = make_trainer(cond=True)
-        S, B = 2, 2
-        stack = jax.random.normal(jax.random.PRNGKey(0), (S, B, 16, 16, 4))
-        cond = {
-            "class": jnp.tile(jax.nn.one_hot(jnp.array([1, 2]), 10)[None],
-                              (S, 1, 1)),
-            "text": jnp.ones((S, B, 7, 24)),
-            "image": jnp.ones((S, B, 64, 64, 18)),
-        }
-        losses = tr.train_multi_step(stack, cond, jax.random.PRNGKey(1))
-        assert np.isfinite(np.asarray(losses)).all()
+        self._probe("cond")
