@@ -37,6 +37,20 @@ class TestYamlPresets:
         assert cc.image_condition_config.image_condition_input_channels == 18
         assert cfg.diffusion_params.beta_start == 0.00085
 
+    def test_synthface_preset_mirrors_flagship_conditioning(self):
+        """The reduced synthface preset must carry the SAME conditioning
+        shape as celebhq_text_image_cond (text cross-attn + 18-ch mask)."""
+        cfg = load_config("synthface_text_image_cond")
+        ref = load_config("celebhq_text_image_cond")
+        cc = cfg.ldm_params.condition_config
+        rc = ref.ldm_params.condition_config
+        assert cc.condition_types == rc.condition_types
+        assert (cc.text_condition_config.text_embed_dim
+                == rc.text_condition_config.text_embed_dim)
+        assert (cc.image_condition_config.image_condition_input_channels
+                == rc.image_condition_config.image_condition_input_channels)
+        assert cfg.diffusion_params.beta_start == ref.diffusion_params.beta_start
+
     def test_unknown_config_raises(self):
         with pytest.raises(FileNotFoundError):
             load_config("nonexistent_config")
