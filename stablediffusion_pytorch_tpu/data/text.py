@@ -237,15 +237,38 @@ def text_provenance(tokenizer, model) -> dict:
     }
 
 
+_ENCODER_JIT_CACHE: dict = {}
+
+
 def get_text_representation(texts: Sequence[str] | str,
                             tokenizer,
                             model: CLIPTextEncoder,
                             max_length: int = CLIP_MAX_LEN) -> jax.Array:
     """Tokenize (pad/truncate to 77, PAD=EOS, attention-masked) and return
-    last_hidden_state. Reference: utils/text_utils.py:24-33."""
+    last_hidden_state. Reference: utils/text_utils.py:24-33.
+
+    The encoder forward runs under ONE cached jit per model instance:
+    training loops call this every batch, and an eager tower forward is
+    hundreds of per-op dispatches on the relay-attached TPU — measured to
+    leak relay-side host memory across tens of thousands of eager
+    dispatches (the synthface LDM run was OOM-killed at 130 GB RSS) besides
+    being slow. jit makes it one dispatch and one cached executable."""
     if isinstance(texts, str):
         texts = [texts]
     ids, mask = tokenizer(list(texts), return_mask=True)
     ids = jnp.asarray(ids[:, :max_length])
     mask = jnp.asarray(mask[:, :max_length])
-    return model(ids, attention_mask=mask)
+
+    from flax import nnx
+
+    key = id(model)
+    cached = _ENCODER_JIT_CACHE.get(key)
+    if cached is None:
+        graphdef, _ = nnx.split(model)
+
+        @jax.jit
+        def fwd(state, ids, mask):
+            return nnx.merge(graphdef, state)(ids, attention_mask=mask)
+
+        _ENCODER_JIT_CACHE[key] = cached = fwd
+    return cached(nnx.state(model), ids, mask)
