@@ -59,7 +59,19 @@ def prepare_cond_batch(cond_np, condition_types, tokenizer, text_model,
         cond["text"] = get_text_representation(cond_np["text"], tokenizer,
                                                text_model)
     if "image" in condition_types:
-        mask = jnp.asarray(cond_np["image"])
+        mask = np.asarray(cond_np["image"])
+        if latent_size and mask.shape[1] % latent_size == 0 \
+                and mask.shape[2] % latent_size == 0:
+            # downsample ON HOST before the device transfer: the strided
+            # slice is bit-identical to nearest resize (diffusion_utils.
+            # nearest_resize), and shipping the full-res mask every step
+            # both wastes relay bandwidth and leaks pinned host buffers in
+            # the experimental axon runtime (~37 MB/step at 128^2 b32 —
+            # the remainder of the OOM fixed in data/text.py)
+            rh = mask.shape[1] // latent_size
+            rw = mask.shape[2] // latent_size
+            mask = mask[:, rh // 2::rh, rw // 2::rw, :]
+        mask = jnp.asarray(mask)
         if latent_size:
             mask = resize_mask_to_latent(mask, latent_size)
         cond["image"] = mask
