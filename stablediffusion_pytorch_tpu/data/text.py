@@ -237,7 +237,12 @@ def text_provenance(tokenizer, model) -> dict:
     }
 
 
-_ENCODER_JIT_CACHE: dict = {}
+import weakref  # noqa: E402
+
+# Weak keys: entries die with their encoder instead of outliving it.
+# (A plain id(model)-keyed dict both leaked executables and could hand a
+# recycled id the stale graphdef of a dead model — ADVICE r2.)
+_ENCODER_JIT_CACHE = weakref.WeakKeyDictionary()
 
 
 def get_text_representation(texts: Sequence[str] | str,
@@ -261,8 +266,7 @@ def get_text_representation(texts: Sequence[str] | str,
 
     from flax import nnx
 
-    key = id(model)
-    cached = _ENCODER_JIT_CACHE.get(key)
+    cached = _ENCODER_JIT_CACHE.get(model)
     if cached is None:
         graphdef, _ = nnx.split(model)
 
@@ -270,5 +274,5 @@ def get_text_representation(texts: Sequence[str] | str,
         def fwd(state, ids, mask):
             return nnx.merge(graphdef, state)(ids, attention_mask=mask)
 
-        _ENCODER_JIT_CACHE[key] = cached = fwd
+        _ENCODER_JIT_CACHE[model] = cached = fwd
     return cached(nnx.state(model), ids, mask)

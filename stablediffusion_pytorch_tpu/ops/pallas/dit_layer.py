@@ -38,9 +38,12 @@ the attention FEATURE-MAJOR: q/k/v come off the MXU already transposed
 on the sublane axis. Measured at DiT-12L b32: 234 fwd/s vs 350 for XLA —
 per-SAMPLE GEMMs (grid over batch) cannot match XLA's whole-batch GEMMs,
 so this kernel is OPT-IN (SDTPU_FUSED_LAYER=1) for small-batch /
-latency-bound serving where weight reloads dominate; the default
-production path fuses only the attention segment
-(models/dit.Attention -> ops/attention.feature_major_attention).
+latency-bound serving where weight reloads dominate. All three Pallas
+attention paths are opt-in via env vars (this one, and the head-packed
+feature-major attention behind SDTPU_HEAD_ATTN=1 — see
+models/dit.Attention._use_feature_major); plain XLA is the default
+production path, which round-2 measurement showed fastest at the
+production shape.
 """
 
 from __future__ import annotations

@@ -200,7 +200,14 @@ def dpm_solver_sample(
     x0 = (x - s*eps_theta)/a from the eps-prediction network. Shares the
     reference's DDIM timestep subsequences and the batched-CFG model call.
     """
-    ts_np, ts_prev_np = ddim_timesteps(sched.num_timesteps, steps, method)
+    ts_np, _ = ddim_timesteps(sched.num_timesteps, steps, method)
+    # quadratic spacing repeats small timesteps (e.g. steps=100 yields many
+    # t==t_prev pairs); a repeated t gives h=0 and r=h_prev/h would NaN the
+    # whole trajectory. Deduplicate host-side: the effective step count is
+    # the number of *distinct* timesteps, which is also what the repeated
+    # steps would have computed had they been numerically stable.
+    ts_np = np.unique(ts_np)
+    ts_prev_np = np.concatenate([[0], ts_np[:-1]])
     # reversed walk t_hi -> t_lo; each scan step evaluates the model at t
     # and lands on t_prev
     ts = np.asarray(ts_np[::-1])

@@ -55,6 +55,9 @@ def evaluate(args) -> float:
     comparable = fid_extractor_stamp(extractor) == "inception-v3"
     # a substituted extractor yields framework-INTERNAL numbers only —
     # the stamp makes that impossible to miss in logs or parsed output
+    # legacy line first (reference fid_evaluation.py prints 'FID: x'; kept
+    # for external consumers — ADVICE r2), then the structured record
+    print(f"FID: {fid:.4f}")
     print(json.dumps({"fid": round(fid, 4), "provenance": stamp,
                       "reference_comparable": comparable}))
     return fid

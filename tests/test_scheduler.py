@@ -203,6 +203,28 @@ class TestSamplers:
         diff = float(np.max(np.abs(np.asarray(dp) - np.asarray(dd))))
         assert diff < 0.02 * float(np.max(np.abs(np.asarray(dd))))
 
+    def test_dpm_solver_quadratic_duplicate_timesteps_finite(self):
+        """Regression (ADVICE r2): quadratic spacing at high step counts
+        yields repeated timesteps (t == t_prev -> h = 0); the solver must
+        deduplicate the subsequence instead of producing NaNs via
+        r = h_prev / h."""
+        from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
+
+        sched = make_compvis_linear_schedule(1000, 0.0015, 0.0195)
+        # the sample_ddpm CLI default config that used to NaN
+        ts, _ = ddim_timesteps(1000, 100, "quadratic")
+        assert len(np.unique(ts)) < len(ts)  # precondition: dups exist
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (3, 3)) * 0.1
+
+        def linear_model(xt, t, cond=None):
+            return jnp.einsum("bhwc,cd->bhwd", xt, w) * 0.3
+
+        xt = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 3))
+        out = dpm_solver_sample(linear_model, sched, xt, steps=100,
+                                method="quadratic")
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_dpm_solver_cfg_batched(self):
         from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
 
