@@ -36,11 +36,12 @@ chain that guarantees a JSON line no matter where a slow run stalls:
      rc is always 0.
 
 Other measured environment constraints honored here:
-  - the persistent XLA compilation cache is deliberately NOT enabled:
-    enabling jax_compilation_cache_dir on the axon backend hangs
-    executable serialization for this program, while the uncached relay
-    compile is only ~7-25 s (the cache stays on for the CPU test suite,
-    where it works — see tests/conftest.py);
+  - the persistent XLA compilation cache is enabled (worker only): relay
+    compile latency for the same program was measured anywhere from 7 s
+    to >6 min run-to-run, and a cache hit brings repeat runs to ~1 s of
+    compile. (An earlier round-3 session blamed the cache for a hang;
+    re-measurement showed that was compile-latency variance — the cache
+    round-trips correctly on axon.)
   - the as-reference per-step 512^2-mask config is OPT-IN
     (SDTPU_BENCH_FULL=1) since it doubles compiles for a number that
     round-2 measurement showed equals the headline within noise.
@@ -116,6 +117,14 @@ def _note(msg):
 def worker(result_path):
     """Measure; write result/progress JSON to result_path. No stdout."""
     import jax
+    cache_dir = os.path.expanduser("~/.cache/sdtpu/xla_cache_tpu")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
     from flax import nnx

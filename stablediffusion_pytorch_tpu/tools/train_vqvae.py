@@ -18,6 +18,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
@@ -78,15 +79,28 @@ def train(args):
     step = 0
     img_save_count = 0
 
+    # jitted recon forward for the periodic image grids (an eager VQVAE
+    # forward is hundreds of per-op relay dispatches — seconds per grid)
+    @nnx.jit
+    def _recon(m, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+        return m(x)[0]
+
     for epoch in range(start_epoch, num_epochs):
         epoch_metrics = []
         epoch_losses = []
         for im in dl.epoch(epoch):
+            # ship raw pixels as uint8: 4x less relay upload than f32,
+            # exact round-trip of the source bytes (normalized in-jit)
+            im = np.round((np.asarray(im) + 1.0) * 127.5).astype(np.uint8)
             key, k_step = jax.random.split(key)
             metrics = trainer.train_step(im, k_step)
             step += 1
             if step % args.log_every == 0 or step == 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE packed device->host fetch for all scalar metrics
+                packed = np.asarray(metrics["packed"])
+                m = dict(zip(trainer.METRIC_KEYS, packed.tolist()))
                 epoch_metrics.append(m)
                 all_losses.append(m["g_loss"])
                 epoch_losses.append(m["g_loss"])
@@ -95,8 +109,9 @@ def train(args):
                          m["recon_loss"], m["perceptual_loss"],
                          m["codebook_loss"], m["d_loss"])
             if step % image_save_steps == 0 or step == 1:
-                out, _, _ = trainer.model(im[:8])
-                grid = list(np.asarray(im[:8])) + list(np.asarray(out))
+                out = _recon(trainer.model, jnp.asarray(im[:8]))
+                im_f = im[:8].astype(np.float32) / 127.5 - 1.0
+                grid = list(im_f) + list(np.asarray(out))
                 save_image_grid(
                     os.path.join(arts["run_dir"], "vqvae_autoencoder_samples",
                                  f"current_autoencoder_sample_{img_save_count}.png"),
@@ -153,7 +168,7 @@ def main():
     parser.add_argument("--resume-disc", default=None)
     parser.add_argument("--lpips-weights", default=None)
     parser.add_argument("--output-root", default="runs")
-    parser.add_argument("--log-every", type=int, default=1)
+    parser.add_argument("--log-every", type=int, default=10)
     args = parser.parse_args()
     if args.noise_sweep:
         train_noise_sweep(args)

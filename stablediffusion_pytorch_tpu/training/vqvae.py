@@ -64,8 +64,18 @@ class VqvaeTrainer:
         self.opt_d = nnx.Optimizer(discriminator, make_tx(), wrt=nnx.Param)
         self.step_count = jnp.zeros((), jnp.int32)
 
+    # order of the scalar metrics packed into metrics["packed"] (one
+    # device->host fetch instead of seven: each fetch is a full relay
+    # round-trip, ~30 ms measured — see PERF.md round-3 input-path notes)
+    METRIC_KEYS = ("g_loss", "d_loss", "recon_loss", "perceptual_loss",
+                   "codebook_loss", "commitment_loss", "gen_adv_loss")
+
     @partial(nnx.jit, static_argnums=0)
     def _step(self, model, disc, lpips, opt_g, opt_d, im, step_count, key):
+        if im.dtype == jnp.uint8:
+            # raw pixels shipped as uint8 (4x less relay upload than f32);
+            # exact inverse of the dataset's [-1,1] normalization
+            im = im.astype(jnp.float32) / 127.5 - 1.0
         disc_active = (step_count > self.disc_start).astype(jnp.float32)
 
         def g_loss_fn(m):
@@ -110,6 +120,7 @@ class VqvaeTrainer:
         opt_d.update(disc, d_grads)
 
         metrics = {"g_loss": g_loss, "d_loss": d_loss, **aux}
+        metrics["packed"] = jnp.stack([metrics[k] for k in self.METRIC_KEYS])
         return step_count + 1, metrics
 
     def train_step(self, im: jax.Array, key) -> dict:

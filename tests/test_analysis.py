@@ -58,6 +58,7 @@ class TestFrechetDistance:
         np.testing.assert_allclose(sigma, sigma2)
 
 
+@pytest.mark.slow
 class TestFidPipeline:
     def test_compute_fid_discriminates(self, tmp_path):
         # 16 images x batch 8: the extractor runs its full 299^2 protocol,

@@ -68,6 +68,7 @@ def tiny_env(tmp_path_factory):
     return {"root": str(root), "cfg": str(cfg_path)}
 
 
+@pytest.mark.slow
 def test_full_slice(tiny_env):
     from stablediffusion_pytorch_tpu.tools import (
         infer_vqvae, sample_ddpm, train_ddpm_cond, train_vqvae,

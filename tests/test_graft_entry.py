@@ -10,12 +10,14 @@ lowering). dryrun_multichip stays a real run: its sharded programs are tiny.
 
 import sys
 
+import pytest
 import jax
 
 
 sys.path.insert(0, "/root/repo")
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_entry_lowers_with_expected_shapes(self):
         import __graft_entry__ as g

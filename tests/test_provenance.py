@@ -6,6 +6,8 @@ FID extractor, random-feature LPIPS) must carry a stamp saying so.
 
 import json
 
+import pytest
+
 import numpy as np
 from flax import nnx
 
@@ -87,6 +89,7 @@ class TestSnapshotEmbedding:
         assert snap["provenance"]["text_encoder"] == "hash-fallback"
         assert snap["train_params"]["seed"] == 1
 
+    @pytest.mark.slow
     def test_fid_cli_output_is_stamped_json(self, tmp_path, capsys):
         from PIL import Image
 

@@ -53,6 +53,7 @@ class TestLdmTrainer:
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
 
+    @pytest.mark.slow
     def test_ema_tracks_params(self):
         tr = make_trainer(ema_decay=0.5)
         before = jax.tree.map(np.asarray, tr.ema_params)  # host copies (ema buffers are donated)
@@ -62,6 +63,7 @@ class TestLdmTrainer:
                              before, tr.ema_params)
         assert max(jax.tree.leaves(diffs)) > 0
 
+    @pytest.mark.slow
     def test_conditional_step_with_dropout(self):
         tr = make_trainer(cond=True)
         latents = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
@@ -73,6 +75,7 @@ class TestLdmTrainer:
         m = tr.train_step(latents, cond, jax.random.PRNGKey(1))
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow
     def test_nonfinite_batch_skips_update(self):
         tr = make_trainer()
         params_before = jax.tree.map(lambda x: np.asarray(x),
@@ -84,6 +87,7 @@ class TestLdmTrainer:
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
                      params_before, params_after)
 
+    @pytest.mark.slow
     def test_set_lr(self):
         tr = make_trainer()
         tr.train_step(jnp.ones((2, 16, 16, 4)), None, jax.random.PRNGKey(0))
@@ -110,6 +114,7 @@ class TestVqvaeTrainer:
             assert np.isfinite(float(m2[k])), k
         assert float(m2["d_loss"]) > 0  # disc active from step > 0
 
+    @pytest.mark.slow
     def test_disc_gated_before_start(self):
         tr = self._make(disc_start=1000)
         im = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
@@ -121,6 +126,7 @@ class TestVqvaeTrainer:
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
                      disc_before, disc_after)
 
+    @pytest.mark.slow
     def test_recon_improves(self):
         tr = self._make(disc_start=10_000)
         im = jnp.tile(jnp.linspace(-1, 1, 32)[None, :, None, None],
@@ -131,6 +137,7 @@ class TestVqvaeTrainer:
         assert last < first
 
 
+@pytest.mark.slow
 class TestDataParallelStep:
     def test_sharded_train_step_on_mesh(self):
         """Batch sharded over the 8-device 'data' mesh; params replicated via
@@ -145,6 +152,7 @@ class TestDataParallelStep:
         assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 class TestMultiStepScan:
     """The multi-step scan program (model + optimizer in the carry)
     intermittently segfaults XLA:CPU when compiled late in a long-lived
