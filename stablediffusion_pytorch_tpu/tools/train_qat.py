@@ -194,6 +194,13 @@ def run_pipeline(args, data_iter_fn, cfg=None):
     if args.resume:
         load_model(args.resume, model)
 
+    eval_rows = []
+    do_eval = getattr(args, "eval_vqvae_ckpt", None)
+    if do_eval and getattr(args, "eval_fp_first", False):
+        # FP baseline under the IDENTICAL protocol/seed, before conversion
+        eval_rows.append(evaluate_model(model, cfg, args,
+                                        arts["run_dir"], "fp"))
+
     if "FP" in stages:
         trainer.stage = "FP"
         trainer.train_model(cycle=0)
@@ -260,6 +267,16 @@ def run_pipeline(args, data_iter_fn, cfg=None):
             noise_scale_range=andi_cfg.adda_noise_range,
             dac_bit_range=andi_cfg.adda_dac_bit_range,
             adc_bit_range=andi_cfg.adda_adc_bit_range)
+
+    if do_eval:
+        eval_rows.append(evaluate_model(model, cfg, args, arts["run_dir"],
+                                        "quantized"))
+        import json
+
+        path = os.path.join(arts["run_dir"], "qat_eval.json")
+        with open(path, "w") as f:
+            json.dump({"stages": stages, "rows": eval_rows}, f, indent=2)
+        log.info("wrote %s", path)
 
     return trainer, arts
 
@@ -333,6 +350,101 @@ def _synthetic_data_iter(cfg, batch_size, n_batches=2):
     return it
 
 
+def evaluate_model(model, cfg, args, out_dir: str, tag: str) -> dict:
+    """Sample the (possibly quantized/converted) in-memory denoiser and
+    score framework-FID against real training images — the quantized-model
+    quality evidence VERDICT r2 W5 asked for. The reference's analogue is
+    batch_condition_image_generator + fid_evaluation run on a ProgressiveTrain
+    -converted model (gui_..._andi.py:106-175, fid_evaluation.py:99-107);
+    here it runs in-process so the exact trained quant state (step sizes,
+    ADC gains, enhance blends) is what gets sampled, under the same DDIM
+    protocol as the committed FP trajectory (tools_fid_traj.py)."""
+    from stablediffusion_pytorch_tpu.analysis.fid import (
+        compute_fid, default_extractor,
+    )
+    from stablediffusion_pytorch_tpu.schedulers import ddim_sample
+    from stablediffusion_pytorch_tpu.tools.common import (
+        build_vqvae, latent_hw,
+    )
+    from stablediffusion_pytorch_tpu.utils.image_utils import save_image_grid
+    from stablediffusion_pytorch_tpu.utils.provenance import (
+        build_stamp, write_sidecar,
+    )
+
+    n = args.eval_samples
+    hw = latent_hw(cfg)
+    z = cfg.autoencoder_params["z_channels"]
+    cc = dict(cfg.get("condition_config")
+              or dict(cfg.get("ldm_params") or {}).get("condition_config")
+              or {})
+    cond = uncond = None
+    guidance = (getattr(args, "eval_guidance", None)
+                or cfg.train_params.get("cf_guidance_scale", 2.0))
+    if "class" in cc.get("condition_types", []):
+        num_classes = cc["class_condition_config"]["num_classes"]
+        cls = jnp.arange(n) % num_classes  # tools_fid_traj class_id=-1
+        cond = {"class": jax.nn.one_hot(cls, num_classes)}
+        uncond = {"class": jnp.zeros_like(cond["class"])}
+
+    graphdef, state = nnx.split(model)
+
+    def model_fn(xt, t, c=None):
+        m = nnx.merge(graphdef, state)
+        return m(xt, t, c) if c is not None else m(xt, t)
+
+    sched = make_compvis_linear_schedule(
+        cfg.diffusion_params["num_timesteps"],
+        cfg.diffusion_params["beta_start"],
+        cfg.diffusion_params["beta_end"])
+    key = jax.random.PRNGKey(7)  # the FP trajectory's seed
+    k_init, k_loop = jax.random.split(key)
+    xt = jax.random.normal(k_init, (n, hw, hw, z))
+    x0 = jax.jit(lambda x, k: ddim_sample(
+        model_fn, sched, x, k, steps=args.eval_steps, method="linear",
+        eta=0.0, cond=cond, uncond=uncond if guidance > 1.0 else None,
+        guidance_scale=guidance if guidance > 1.0 else None))(xt, k_loop)
+
+    vqvae = build_vqvae(cfg)
+    load_model(args.eval_vqvae_ckpt, vqvae)
+    vq_graphdef, vq_state = nnx.split(vqvae)
+    imgs = np.asarray(jnp.clip(jax.jit(
+        lambda s, z_: nnx.merge(vq_graphdef, s).decode(z_))(vq_state, x0),
+        -1, 1))
+
+    grid_path = os.path.join(out_dir, f"qat_eval_{tag}.png")
+    save_image_grid(grid_path, list(imgs), nrow=10)
+    result = {"tag": tag, "num_samples": n, "steps": args.eval_steps,
+              "guidance": float(guidance), "grid": grid_path}
+
+    if args.eval_fid_images:
+        from PIL import Image
+
+        def real_iter(limit=1000):
+            root = args.eval_fid_images
+            classes = sorted(os.listdir(root))
+            per = max(1, limit // max(len(classes), 1))
+            for c in classes:
+                for f in sorted(os.listdir(os.path.join(root, c)))[:per]:
+                    with Image.open(os.path.join(root, c, f)) as im:
+                        yield np.asarray(im.convert("RGB"),
+                                         np.float32) / 255.0
+
+        fake = [(np.repeat(g, 3, axis=-1) + 1) / 2 if g.shape[-1] == 1
+                else (g + 1) / 2 for g in imgs]
+        extractor = default_extractor(None)
+        fid = compute_fid(real_iter(), iter(fake), extractor=extractor,
+                          batch_size=32)
+        result["fid_internal"] = round(float(fid), 3)
+        result["fid_protocol"] = (
+            f"DDIM-{args.eval_steps} eta=0 cfg={guidance} n={n} "
+            "vs 1000 train images")
+        write_sidecar(grid_path, build_stamp(fid_extractor=extractor),
+                      **{k: v for k, v in result.items() if k != "grid"})
+    log.info("qat eval [%s]: %s", tag, {k: v for k, v in result.items()
+                                        if k != "grid"})
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser(description="Progressive QAT pipeline")
     parser.add_argument("--model", choices=sorted(MODEL_PRESETS),
@@ -359,6 +471,19 @@ def main():
                         help="cap batches per epoch (short on-chip runs)")
     parser.add_argument("--tiny", action="store_true",
                         help="shrink the model (pipeline smoke tests)")
+    parser.add_argument("--eval-vqvae-ckpt", default=None,
+                        help="VQVAE ckpt for decoding post-pipeline samples "
+                             "(enables the quantized-model eval)")
+    parser.add_argument("--eval-fid-images", default=None,
+                        help="real-image root (class dirs) for framework-FID")
+    parser.add_argument("--eval-fp-first", action="store_true",
+                        help="also score the FP --resume checkpoint before "
+                             "conversion (same protocol/seed)")
+    parser.add_argument("--eval-samples", type=int, default=100)
+    parser.add_argument("--eval-steps", type=int, default=100)
+    parser.add_argument("--eval-guidance", type=float, default=None,
+                        help="CFG scale for the eval (default: config's "
+                             "cf_guidance_scale) — match the FP protocol")
     parser.add_argument("--output-root", default="runs_qat")
     args = parser.parse_args()
 
