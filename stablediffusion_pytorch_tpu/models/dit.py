@@ -116,9 +116,14 @@ class Attention(nnx.Module):
         # scores HBM round-trip under that floor — measured 350 fwd/s (XLA)
         # vs 319 (this path) on DiT-12L. Kept for long-sequence/narrow-head
         # regimes where the (N, N) probs traffic dominates instead.
+        # SDTPU_FM_XLA=1 keeps the transpose-free feature-major PRODUCTION
+        # of q/k/v (the layout ride on the projection GEMM) but runs the
+        # attention core as plain XLA einsums instead of the Pallas kernel —
+        # the round-3 hybrid of the two round-2 measurements.
         import os
 
-        if os.environ.get("SDTPU_HEAD_ATTN", "0") != "1":
+        if (os.environ.get("SDTPU_HEAD_ATTN", "0") != "1"
+                and os.environ.get("SDTPU_FM_XLA", "0") != "1"):
             return False
         return (jax.default_backend() == "tpu" and self.head_dim < 64
                 and n <= 1024)
@@ -136,16 +141,21 @@ class Attention(nnx.Module):
             # takes transposed operands natively). Net: the (B, heads, N, N)
             # probs HBM round-trip — the dominant non-GEMM cost at DiT
             # shapes — is eliminated with no layout copies added.
+            import os
+
             from stablediffusion_pytorch_tpu.ops.attention import (
-                feature_major_attention,
+                _xla_attention_fm, feature_major_attention,
             )
 
+            attn_fm = (_xla_attention_fm
+                       if os.environ.get("SDTPU_FM_XLA", "0") == "1"
+                       else feature_major_attention)
             w = self.qkv_proj.kernel[...]                 # (H, 3A)
             bias = self.qkv_proj.bias[...]                # (3A,)
             qkv_t = jnp.einsum("bnh,ha->ban", x, w) + bias[None, :, None]
             q_t, k_t, v_t = jnp.split(qkv_t, 3, axis=1)   # (B, A, N) each
             fm = (b, self.n_heads, self.head_dim, n)
-            out_t = feature_major_attention(
+            out_t = attn_fm(
                 q_t.reshape(fm), k_t.reshape(fm), v_t.reshape(fm),
                 self.head_dim ** -0.5)
             out_t = out_t.reshape(b, self.n_heads * self.head_dim, n)
