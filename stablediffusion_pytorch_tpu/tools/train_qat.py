@@ -230,8 +230,9 @@ def run_pipeline(args, data_iter_fn, cfg=None):
                 input_bit=andi_cfg.qna_feature_bit_range[0],
                 output_bit=andi_cfg.qna_feature_bit_range[0],
                 weight_bit=andi_cfg.qna_weight_bit_range[0])
-        trainer.add_enhance_branch_LoR(ops_factor=args.enhance_ops_factor)
-        trainer.add_enhance_layers(ops_factor=args.enhance_ops_factor)
+        if not getattr(args, "no_enhance", False):
+            trainer.add_enhance_branch_LoR(ops_factor=args.enhance_ops_factor)
+            trainer.add_enhance_layers(ops_factor=args.enhance_ops_factor)
         trainer._calibrated = False
         trainer.progressive_train(
             qn_cycle=args.cycles or andi_cfg.qna_cycle,
@@ -455,6 +456,9 @@ def main():
     parser.add_argument("--epochs-per-cycle", type=int, default=1)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--enhance-ops-factor", type=float, default=0.05)
+    parser.add_argument("--no-enhance", action="store_true",
+                        help="skip the enhance adapters (ablation arm for "
+                             "the adapter-benefit evidence)")
     parser.add_argument("--array-size", type=int, nargs=2,
                         default=[576, 2048])
     parser.add_argument("--array-device", default="TC05")
