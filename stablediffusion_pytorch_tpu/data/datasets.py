@@ -123,7 +123,8 @@ class CelebDataset:
     def __init__(self, split: str, im_path: str, im_size: int = 256,
                  im_channels: int = 3, im_ext: str = "jpg",
                  use_latents: bool = False, latent_path: Optional[str] = None,
-                 condition_config: Optional[dict] = None):
+                 condition_config: Optional[dict] = None,
+                 mask_hw: Optional[Tuple[int, int]] = None):
         self.split = split
         self.im_size = im_size
         self.im_channels = im_channels
@@ -138,8 +139,15 @@ class CelebDataset:
         if "image" in self.condition_types:
             icc = condition_config["image_condition_config"]
             self.mask_channels = icc["image_condition_input_channels"]
-            self.mask_h = icc["image_condition_h"]
-            self.mask_w = icc["image_condition_w"]
+            # mask_hw: consumer-side resolution hint. One-hot commutes with
+            # nearest resize, so a trainer that immediately downsamples the
+            # mask to latent resolution (tools/train_ddpm_cond.py) can ask
+            # the dataset to produce it there directly — at 512^2 the
+            # per-item one-hot alone is ~9 ms of host time (measured,
+            # PERF.md round 3), ~250x the latent-res cost, and the single
+            # data-feed CPU is part of the train-step critical path.
+            self.mask_h, self.mask_w = mask_hw or (
+                icc["image_condition_h"], icc["image_condition_w"])
 
         self.images, self.texts, self.masks = self._load_images(im_path)
 

@@ -55,9 +55,15 @@ def seed_everything(seed: int) -> jax.Array:
 
 def build_dataset(cfg: Config, split: str = "train", use_latents: bool = False,
                   latent_path: Optional[str] = None,
-                  condition_config: Optional[dict] = None):
+                  condition_config: Optional[dict] = None,
+                  mask_hw: Optional[tuple] = None):
     """Dataset by config name ('mnist' | 'celebhq'), matching the name->class
-    map the reference asks users to edit (tools/train_ddpm_vqvae.py:40)."""
+    map the reference asks users to edit (tools/train_ddpm_vqvae.py:40).
+
+    mask_hw: optional consumer-side mask resolution hint (see
+    CelebDataset.__init__) — a trainer that immediately downsamples masks
+    to latent resolution can have the dataset one-hot them there directly.
+    """
     dp = cfg.dataset_params
     name = dp["name"]
     kwargs = dict(split=split, im_path=dp["im_path"], im_size=dp["im_size"],
@@ -66,7 +72,7 @@ def build_dataset(cfg: Config, split: str = "train", use_latents: bool = False,
     if name == "mnist":
         return MnistDataset(**kwargs)
     if name == "celebhq":
-        return CelebDataset(**kwargs)
+        return CelebDataset(**kwargs, mask_hw=mask_hw)
     raise ValueError(f"unknown dataset {name!r}")
 
 

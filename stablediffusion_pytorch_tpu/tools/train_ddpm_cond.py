@@ -119,8 +119,13 @@ def train(args):
 
     latent_dir = os.path.join(args.latent_root or args.output_root,
                               tc["task_name"], tc["vqvae_latent_dir_name"])
+    # masks are consumed at latent resolution only (prepare_cond_batch);
+    # asking the dataset to one-hot them there saves ~250x of per-item
+    # host work at the 512^2 flagship config (the single data-feed core is
+    # on the train-step critical path — measured in PERF.md round 3)
+    hw = latent_hw(cfg)
     ds = build_dataset(cfg, use_latents=True, latent_path=latent_dir,
-                       condition_config=condition_config)
+                       condition_config=condition_config, mask_hw=(hw, hw))
     if not ds.use_latents:
         log.warning("latents not found at %s — encoding on the fly via "
                     "VQVAE (slower); run infer_vqvae --save-latents first",

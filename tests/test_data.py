@@ -103,6 +103,23 @@ class TestCelebDataset:
         sums = cond["image"].sum(-1)
         assert set(np.unique(sums)).issubset({0.0, 1.0})
 
+    def test_mask_hw_hint_produces_latent_res_one_hot(self, celeb_dir):
+        # one-hot commutes with nearest resize: the hinted dataset must
+        # return a valid one-hot at the hinted resolution whose per-channel
+        # coverage tracks the full-res mask's (the hint exists to remove
+        # the 512^2 host one-hot from the train-step critical path)
+        full = CelebDataset("train", celeb_dir, im_size=32,
+                            condition_config=CELEB_COND)
+        hinted = CelebDataset("train", celeb_dir, im_size=32,
+                              condition_config=CELEB_COND, mask_hw=(16, 16))
+        _, cond = hinted[2]
+        assert cond["image"].shape == (16, 16, 18)
+        sums = cond["image"].sum(-1)
+        assert set(np.unique(sums)).issubset({0.0, 1.0})
+        cov_full = full.get_mask(2).mean(axis=(0, 1))
+        cov_hint = hinted.get_mask(2).mean(axis=(0, 1))
+        assert np.abs(cov_full - cov_hint).max() < 0.15
+
     def test_latent_mode(self, celeb_dir, tmp_path):
         latent_dir = str(tmp_path / "latents")
         ds0 = CelebDataset("train", celeb_dir, im_size=32)
