@@ -89,20 +89,22 @@ def generate(args):
     graphdef, state = nnx.split(model)
     vq_graphdef, vq_state = nnx.split(vqvae)
 
-    def model_fn(xt, t, c):
-        return nnx.merge(graphdef, state)(xt, t, c)
-
     hw = latent_hw(cfg)
     z = cfg.autoencoder_params["z_channels"]
     guidance = args.cf_guidance_scale
 
+    # model/vqvae state are jit ARGUMENTS: closed-over weights become HLO
+    # constants, which blows the axon relay's compile-request size limit
+    # at the 256^2 flagship model size (HTTP 413)
     @jax.jit
-    def sample_batch(xt, k, cond, uncond):
+    def sample_batch(st, vq_st, xt, k, cond, uncond):
+        def model_fn(x_, t_, c_):
+            return nnx.merge(graphdef, st)(x_, t_, c_)
         x0 = ddim_sample(model_fn, sched, xt, k, steps=args.steps,
                          method="quadratic", cond=cond,
                          uncond=uncond if guidance > 1 else None,
                          guidance_scale=guidance if guidance > 1 else None)
-        return nnx.merge(vq_graphdef, vq_state).decode(x0)
+        return nnx.merge(vq_graphdef, vq_st).decode(x0)
 
     bs = args.batch_size
     for s in range(0, len(pending), bs):
@@ -136,7 +138,8 @@ def generate(args):
             batch_uncond = {k: pad(v) for k, v in batch_uncond.items()}
         key, k1, k2 = jax.random.split(key, 3)
         xt = jax.random.normal(k1, (bs, hw, hw, z))
-        imgs = np.asarray(jnp.clip(sample_batch(xt, k2, batch_cond,
+        imgs = np.asarray(jnp.clip(sample_batch(state, vq_state, xt, k2,
+                                                batch_cond,
                                                 batch_uncond), -1, 1))[:real]
         for i, img in zip(idxs, imgs):
             Image.fromarray(to_uint8(img)).save(

@@ -146,16 +146,18 @@ def run(args) -> dict:
 
     graphdef, state = nnx.split(model)
 
-    def model_fn(xt, t, c=None):
-        return nnx.merge(graphdef, state)(xt, t, c)
-
     # identical initial noise for every group: the prompt is the ONLY
     # difference between groups
     key, k_init, k_loop = jax.random.split(key, 3)
     xt = jax.random.normal(k_init, (n, hw, hw, z))
 
+    # denoiser state is a jit ARGUMENT: closed-over weights become HLO
+    # constants, exceeding the axon relay's compile-request limit at the
+    # 256^2 flagship model size (HTTP 413)
     @jax.jit
-    def sample_group(x, k, text_emb):
+    def sample_group(st, x, k, text_emb):
+        def model_fn(x_, t_, c_=None):
+            return nnx.merge(graphdef, st)(x_, t_, c_)
         cond = {"text": text_emb, "image": mask_lat}
         return ddim_sample(model_fn, sched, x, k, steps=args.steps,
                            method=args.method, eta=0.0, cond=cond,
@@ -170,7 +172,7 @@ def run(args) -> dict:
     for gi, prompt in enumerate(prompts):
         emb = jnp.repeat(get_text_representation([prompt], tokenizer,
                                                  text_model), n, axis=0)
-        x0 = sample_group(xt, k_loop, emb)
+        x0 = sample_group(state, xt, k_loop, emb)
         imgs = np.asarray(jnp.clip(decode(vq_state, x0), -1, 1))
         imgs01 = (imgs + 1.0) / 2.0
         groups01.append(imgs01)

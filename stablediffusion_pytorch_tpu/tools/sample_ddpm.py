@@ -121,9 +121,15 @@ def sample(args) -> np.ndarray:
 
     graphdef, state = nnx.split(model)
 
-    def model_fn(xt, t, c=None):
-        m = nnx.merge(graphdef, state)
-        return m(xt, t, c) if c is not None else m(xt, t)
+    # the denoiser state is threaded through jit as an ARGUMENT (not a
+    # closure): closed-over weights become HLO constants, and at the 256^2
+    # flagship size that compile payload exceeds the axon relay's request
+    # limit (observed HTTP 413 on remote_compile)
+    def make_model_fn(st):
+        def model_fn(xt, t, c=None):
+            m = nnx.merge(graphdef, st)
+            return m(xt, t, c) if c is not None else m(xt, t)
+        return model_fn
 
     key, k_init, k_loop = jax.random.split(key, 3)
     xt = jax.random.normal(k_init, (n, hw, hw, z),
@@ -137,19 +143,20 @@ def sample(args) -> np.ndarray:
         # DDIM for the same quality (beyond-reference sampler)
         from stablediffusion_pytorch_tpu.schedulers import dpm_solver_sample
 
-        x0 = jax.jit(lambda x: dpm_solver_sample(
-            model_fn, sched, x, steps=args.steps, method=args.method,
-            **kwargs))(xt)
+        x0 = jax.jit(lambda st, x: dpm_solver_sample(
+            make_model_fn(st), sched, x, steps=args.steps,
+            method=args.method, **kwargs))(state, xt)
         traj = None
     elif args.sampler == "ddim":
-        res = jax.jit(lambda x, k: ddim_sample(
-            model_fn, sched, x, k, steps=args.steps, method=args.method,
-            eta=args.eta, return_trajectory=save_traj, **kwargs))(xt, k_loop)
+        res = jax.jit(lambda st, x, k: ddim_sample(
+            make_model_fn(st), sched, x, k, steps=args.steps,
+            method=args.method, eta=args.eta,
+            return_trajectory=save_traj, **kwargs))(state, xt, k_loop)
         x0, traj = (res if save_traj else (res, None))
     else:
-        res = jax.jit(lambda x, k: ddpm_sample(
-            model_fn, sched, x, k, return_trajectory=save_traj,
-            **kwargs))(xt, k_loop)
+        res = jax.jit(lambda st, x, k: ddpm_sample(
+            make_model_fn(st), sched, x, k, return_trajectory=save_traj,
+            **kwargs))(state, xt, k_loop)
         x0, traj = ((res[0], res[1][1]) if save_traj else (res, None))
 
     vq_graphdef, vq_state = nnx.split(vqvae)

@@ -389,9 +389,13 @@ def evaluate_model(model, cfg, args, out_dir: str, tag: str) -> dict:
 
     graphdef, state = nnx.split(model)
 
-    def model_fn(xt, t, c=None):
-        m = nnx.merge(graphdef, state)
-        return m(xt, t, c) if c is not None else m(xt, t)
+    # state as jit argument (not closure): keeps weights out of the
+    # compile payload — the axon relay rejects large payloads (HTTP 413)
+    def make_model_fn(st):
+        def model_fn(xt, t, c=None):
+            m = nnx.merge(graphdef, st)
+            return m(xt, t, c) if c is not None else m(xt, t)
+        return model_fn
 
     sched = make_compvis_linear_schedule(
         cfg.diffusion_params["num_timesteps"],
@@ -400,10 +404,12 @@ def evaluate_model(model, cfg, args, out_dir: str, tag: str) -> dict:
     key = jax.random.PRNGKey(7)  # the FP trajectory's seed
     k_init, k_loop = jax.random.split(key)
     xt = jax.random.normal(k_init, (n, hw, hw, z))
-    x0 = jax.jit(lambda x, k: ddim_sample(
-        model_fn, sched, x, k, steps=args.eval_steps, method="linear",
-        eta=0.0, cond=cond, uncond=uncond if guidance > 1.0 else None,
-        guidance_scale=guidance if guidance > 1.0 else None))(xt, k_loop)
+    x0 = jax.jit(lambda st, x, k: ddim_sample(
+        make_model_fn(st), sched, x, k, steps=args.eval_steps,
+        method="linear", eta=0.0, cond=cond,
+        uncond=uncond if guidance > 1.0 else None,
+        guidance_scale=guidance if guidance > 1.0 else None))(
+            state, xt, k_loop)
 
     vqvae = build_vqvae(cfg)
     load_model(args.eval_vqvae_ckpt, vqvae)
