@@ -24,9 +24,29 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
 
 
 def save_state(path: str, state: Any) -> None:
-    """Save a params/state pytree to ``path`` (overwrites)."""
+    """Save a params/state pytree to ``path`` (overwrites).
+
+    Crash-safe replace: orbax's ``force=True`` deletes the existing
+    directory *before* writing the new one, so a kill mid-save destroys
+    the previous checkpoint too (this lost a 'latest' checkpoint during
+    the round-3 256^2 evidence run). Write to a ``.tmp`` sibling, then
+    swap via two renames — the old checkpoint survives any crash except
+    in the microseconds between the renames, and even then it remains on
+    disk under ``.old``.
+    """
+    import shutil
+
     path = os.path.abspath(path)
-    _ckptr().save(path, jax.tree.map(lambda x: x, state), force=True)
+    tmp, old = path + ".tmp", path + ".old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    _ckptr().save(tmp, jax.tree.map(lambda x: x, state), force=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_state(path: str, like: Any) -> Any:

@@ -33,7 +33,7 @@ import optax
 from flax import nnx
 
 from stablediffusion_pytorch_tpu.schedulers import LinearNoiseSchedule, add_noise
-from stablediffusion_pytorch_tpu.training.ema import ema_update
+from stablediffusion_pytorch_tpu.training.ema import ema_update, warmup_decay
 from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
     drop_class_condition,
     drop_image_condition,
@@ -72,12 +72,17 @@ class LdmTrainer:
 
     def __init__(self, model: nnx.Module, sched: LinearNoiseSchedule,
                  lr: float = 1e-5, grad_clip: float = 1.0,
-                 ema_decay: float = 0.9999,
+                 ema_decay: float = 0.9999, ema_warmup: bool = True,
                  condition_config: Optional[dict] = None,
                  empty_text_embed: Optional[jax.Array] = None):
         self.model = model
         self.sched = sched
         self.ema_decay = ema_decay
+        # warmup ramps the effective decay min(decay, (1+t)/(10+t)) so the
+        # EMA tracks training from step 0; ema_warmup=False gives the
+        # reference's flat schedule (multi_gpu.py:40) exactly
+        self.ema_warmup = ema_warmup
+        self.ema_step = jnp.zeros((), jnp.int32)
         self.condition_config = condition_config or {}
         self.empty_text_embed = empty_text_embed
 
@@ -126,8 +131,14 @@ class LdmTrainer:
         return out
 
     # -----------------------------------------------------------------
+    def _ema_decay_at(self, step):
+        if self.ema_warmup:
+            return warmup_decay(self.ema_decay, step)
+        return self.ema_decay
+
     @partial(nnx.jit, static_argnums=0, donate_argnums=3)
-    def _step(self, model, optimizer, ema_params, latents, cond, key):
+    def _step(self, model, optimizer, ema_params, ema_step, latents, cond,
+              key):
         k_drop, k_noise, k_t = jax.random.split(key, 3)
         cond = self._apply_cond_dropout(cond, k_drop) if cond else None
 
@@ -144,27 +155,27 @@ class LdmTrainer:
         loss, grads = nnx.value_and_grad(loss_fn)(model)
         optimizer.update(model, grads)
         new_ema = ema_update(ema_params, nnx.state(model, nnx.Param),
-                             self.ema_decay)
+                             self._ema_decay_at(ema_step))
         gnorm = optax.global_norm(grads)
-        return new_ema, {"loss": loss, "grad_norm": gnorm}
+        return new_ema, ema_step + 1, {"loss": loss, "grad_norm": gnorm}
 
     def train_step(self, latents: jax.Array,
                    cond: Optional[Dict[str, jax.Array]], key) -> Dict[str, Any]:
         """One optimization step; returns on-device metrics."""
-        self.ema_params, metrics = self._step(
-            self.model, self.optimizer, self.ema_params, latents,
-            cond or {}, key)
+        self.ema_params, self.ema_step, metrics = self._step(
+            self.model, self.optimizer, self.ema_params, self.ema_step,
+            latents, cond or {}, key)
         return metrics
 
     # -----------------------------------------------------------------
     @partial(nnx.jit, static_argnums=0, donate_argnums=3)
-    def _multi_step(self, model, optimizer, ema_params, latents_stack,
-                    cond_stack, key):
+    def _multi_step(self, model, optimizer, ema_params, ema_step,
+                    latents_stack, cond_stack, key):
         # model/optimizer MUST ride the scan carry — a broadcast (None axis)
         # module is re-read fresh each iteration and its updates are lost
         @nnx.scan(in_axes=(nnx.Carry, 0, 0, 0), out_axes=(nnx.Carry, 0))
         def body(carry, latents, cond, k):
-            ema, model, optimizer = carry
+            ema, step, model, optimizer = carry
             k_drop, k_noise, k_t = jax.random.split(k, 3)
             c = self._apply_cond_dropout(cond, k_drop) if cond else None
             noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
@@ -180,13 +191,14 @@ class LdmTrainer:
             loss, grads = nnx.value_and_grad(loss_fn)(model)
             optimizer.update(model, grads)
             new_ema = ema_update(ema, nnx.state(model, nnx.Param),
-                                 self.ema_decay)
-            return (new_ema, model, optimizer), loss
+                                 self._ema_decay_at(step))
+            return (new_ema, step + 1, model, optimizer), loss
 
         keys = jax.random.split(key, latents_stack.shape[0])
-        (ema, _, _), losses = body((ema_params, model, optimizer),
-                                   latents_stack, cond_stack, keys)
-        return ema, losses
+        (ema, step, _, _), losses = body(
+            (ema_params, ema_step, model, optimizer),
+            latents_stack, cond_stack, keys)
+        return ema, step, losses
 
     def train_multi_step(self, latents_stack: jax.Array,
                          cond_stack: Optional[Dict[str, jax.Array]],
@@ -195,9 +207,9 @@ class LdmTrainer:
         stacked batches (S, B, ...). Amortizes per-dispatch latency and host
         round-trips — on relay-attached chips dispatch alone is ~25ms/step
         (PERF.md). Returns the (S,) per-step losses (on device)."""
-        self.ema_params, losses = self._multi_step(
-            self.model, self.optimizer, self.ema_params, latents_stack,
-            cond_stack or {}, key)
+        self.ema_params, self.ema_step, losses = self._multi_step(
+            self.model, self.optimizer, self.ema_params, self.ema_step,
+            latents_stack, cond_stack or {}, key)
         return losses
 
     # -----------------------------------------------------------------

@@ -33,6 +33,36 @@ class TestEma:
         out = ema_update(ema, new, 0.9)
         np.testing.assert_allclose(out["w"], 0.9 * np.ones(3), rtol=1e-6)
 
+    def test_warmup_ramp(self):
+        # step 0: effective decay 0.1 (EMA jumps 90% toward params); large
+        # step: approaches the configured decay. Regression for the round-3
+        # 256^2 run where flat 0.9999 left the EMA ckpt at its random init
+        # after 3.3k steps.
+        from stablediffusion_pytorch_tpu.training.ema import warmup_decay
+        assert float(warmup_decay(0.9999, jnp.asarray(0))) == pytest.approx(0.1)
+        assert float(warmup_decay(0.9999, jnp.asarray(90))) == pytest.approx(0.91)
+        assert float(warmup_decay(0.9999, jnp.asarray(10**7))) == pytest.approx(0.9999)
+
+    def test_warmup_ema_tracks_fast(self):
+        # with warmup, a freshly-initialized EMA follows the live params
+        # within a handful of steps even at decay 0.9999 (flat 0.9999
+        # would leave it ~99.97% of the way back at init after 3 steps)
+        tr = make_trainer(ema_decay=0.9999)  # warmup defaults ON
+        from flax import nnx as _nnx
+        init = jax.tree.map(np.asarray, tr.ema_params)
+        latents = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        for i in range(3):
+            tr.train_step(latents, None, jax.random.PRNGKey(i))
+        live = _nnx.state(tr.model, _nnx.Param)
+
+        def sq(a, b):
+            return sum(float(jnp.sum((x - y) ** 2)) for x, y in zip(
+                jax.tree.leaves(a), jax.tree.leaves(b)))
+
+        # EMA is far closer to the trained weights than the init is
+        assert sq(tr.ema_params, live) < 0.25 * sq(init, live)
+        assert int(tr.ema_step) == 3
+
 
 class TestPlateau:
     def test_reduces_after_patience(self):
