@@ -10,7 +10,11 @@ R=runs_evidence256
 CFG=synthface256_text_image_cond
 VQ=$(ls -d $R/vqvae/*/synthface256/checkpoints/vqvae_autoencoder_ckpt | head -1)
 CKPT_DIR=$(ls -d $R/ldm/*/synthface256/checkpoints | head -1)
-EMA=$CKPT_DIR/ema_ddpm_ckpt_text_image_cond_latest
+# NON-EMA checkpoints: at this run's 3.3k-step horizon the flat-decay EMA
+# shadow was still ~98% at its random init (measured; see RESULTS.md round 3
+# and the EMA-warmup fix in training/ema.py) and the interrupted epoch-19
+# save lost the non-EMA 'latest', so epoch_018 is the terminal checkpoint.
+EMA=$CKPT_DIR/epoch_018_ddpm_ckpt_text_image_cond
 
 # 1. sample grid from the EMA checkpoint (mask-conditioned, CFG)
 python -m stablediffusion_pytorch_tpu.tools.sample_ddpm \
@@ -22,11 +26,9 @@ python -m stablediffusion_pytorch_tpu.tools.sample_ddpm \
 date +%s > $R/t_sample_end
 
 # 2. FID trajectory: 32-image sets from epoch checkpoints
-for EP in 000 004 008 012 latest; do
-  if [ "$EP" = latest ]; then C=$EMA; else
-    C=$CKPT_DIR/ema_epoch_${EP}_ddpm_ckpt_text_image_cond
-    [ -d "$C" ] || continue
-  fi
+for EP in 000 004 008 012 018; do
+  C=$CKPT_DIR/epoch_${EP}_ddpm_ckpt_text_image_cond
+  [ -d "$C" ] || continue
   python -m stablediffusion_pytorch_tpu.tools.batch_condition_image_generator \
     --config $CFG --ckpt "$C" --vqvae-ckpt "$VQ" --limit 32 --batch-size 8 \
     --steps 50 --cf-guidance-scale 2.0 --out-dir $R/fid_traj/ep_$EP \
