@@ -74,6 +74,16 @@ def train(args):
                     seed=tc.get("seed", 1111))
 
     num_epochs = args.epochs or tc["autoencoder_epochs"]
+    planned_steps = num_epochs * max(1, len(ds) // dl.batch_size)
+    if (trainer.perceptual_weight == 0 and trainer.disc_weight > 0
+            and trainer.disc_start < planned_steps):
+        log.warning(
+            "GAN engages at step %d of %d with perceptual_weight=0: "
+            "MSE+GAN without a perceptual loss mean-collapsed the 256^2 "
+            "decoder (round-3 measurement, decoder-output std 0.08). The "
+            "reference stabilizes its GAN with LPIPS — provide LPIPS "
+            "weights or raise disc_start past the run length.",
+            trainer.disc_start, planned_steps)
     image_save_steps = tc.get("autoencoder_img_save_steps", 64)
     all_losses = []
     step = 0
