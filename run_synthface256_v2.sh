@@ -1,17 +1,24 @@
 #!/bin/bash
 # Round-3 256^2 flagship evidence, attempt 2 (VERDICT r2 task 2).
-# v1 (runs_evidence256) trained end-to-end but its VQVAE mean-collapsed:
-# the GAN phase without LPIPS (no pretrained weights in-env) drove the
-# 256^2 decoder to predict-the-mean (decode std 0.08). v2 disables the
-# adversarial stage (preset comment explains), retrains both stages with
-# the EMA-warmup trainer, and runs every evidence stage sized to the
-# remaining round budget. All stages on the real chip.
+# v1 (runs_evidence256) trained end-to-end on-chip but (a) its VQVAE
+# mean-collapsed — the GAN phase without LPIPS (no pretrained weights
+# in-env) drove the 256^2 decoder to predict-the-mean (decode std 0.08) —
+# and (b) the VM rebooted mid-round before the run directory was
+# committed, so v1's artifacts are gone (RESULTS.md notes this).
+# v2 disables the adversarial stage (preset comment explains), retrains
+# both stages with the EMA-warmup trainer, and bounds every stage by a
+# wall-clock deadline so a partial run still leaves committed evidence.
+# All stages on the real chip.
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 R=runs_evidence256_v2
 CFG=synthface256_text_image_cond
 mkdir -p $R
+
+# Hard deadline (unix ts). Caller overrides; default = now + 2h50m.
+DEADLINE=${SF256_DEADLINE:-$(( $(date +%s) + 10200 ))}
+left() { echo $(( DEADLINE - $(date +%s) )); }
 
 date +%s > $R/t_start
 python -m stablediffusion_pytorch_tpu.tools.train_vqvae \
@@ -29,28 +36,39 @@ python -m stablediffusion_pytorch_tpu.tools.gen_vqvae_latents \
   --output-root $R/latents > $R/latents.log 2>&1 || exit 1
 date +%s > $R/t_latents_end
 
-python -m stablediffusion_pytorch_tpu.tools.train_ddpm_cond \
+# LDM: bounded so the evidence tail (~30 min) always fits. rc=124 (timeout)
+# is fine — per-epoch checkpoints exist; anything else fatal.
+LDM_BUDGET=$(( $(left) - 1800 ))
+[ $LDM_BUDGET -lt 600 ] && LDM_BUDGET=600
+timeout $LDM_BUDGET python -m stablediffusion_pytorch_tpu.tools.train_ddpm_cond \
   --config $CFG --latent-root $R/latents --vqvae-ckpt "$VQ" \
-  --steps-per-call 4 --output-root $R/ldm > $R/ldm.log 2>&1 || exit 1
+  --steps-per-call 4 --output-root $R/ldm > $R/ldm.log 2>&1
+RC=$?; [ $RC -ne 0 ] && [ $RC -ne 124 ] && exit 1
 date +%s > $R/t_ldm_end
 CKPT_DIR=$(ls -d $R/ldm/*/synthface256/checkpoints | head -1)
 EMA=$CKPT_DIR/ema_ddpm_ckpt_text_image_cond_latest
+RAW=$CKPT_DIR/ddpm_ckpt_text_image_cond_latest
+[ -d "$EMA" ] || EMA=$RAW
 
 # sample grid from the (warmup-)EMA checkpoint
+if [ $(left) -gt 1500 ]; then
 python -m stablediffusion_pytorch_tpu.tools.sample_ddpm \
   --config $CFG --ckpt "$EMA" --vqvae-ckpt "$VQ" \
   --num-samples 16 --mask-from-dataset \
   --prompt "This person has long brown hair and blue eyes." \
   --cf-guidance-scale 2.0 --sampler ddim --steps 100 --method quadratic \
   --output-root $R/samples > $R/sample.log 2>&1
+fi
 date +%s > $R/t_sample_end
 
-# FID trajectory: 24-image sets from three epoch checkpoints
+# FID trajectory: 16-image sets from early/late epoch checkpoints
 for EP in 000 005 011; do
+  [ $(left) -gt 1200 ] || break
   C=$CKPT_DIR/ema_epoch_${EP}_ddpm_ckpt_text_image_cond
+  [ -d "$C" ] || C=$CKPT_DIR/epoch_${EP}_ddpm_ckpt_text_image_cond
   [ -d "$C" ] || continue
   python -m stablediffusion_pytorch_tpu.tools.batch_condition_image_generator \
-    --config $CFG --ckpt "$C" --vqvae-ckpt "$VQ" --limit 24 --batch-size 8 \
+    --config $CFG --ckpt "$C" --vqvae-ckpt "$VQ" --limit 16 --batch-size 8 \
     --steps 50 --cf-guidance-scale 2.0 --out-dir $R/fid_traj/ep_$EP \
     >> $R/fidtraj.log 2>&1
   python -m stablediffusion_pytorch_tpu.tools.fid_evaluation \
@@ -59,21 +77,25 @@ for EP in 000 005 011; do
 done
 date +%s > $R/t_fidtraj_end
 
-# final 64-image FID set from the EMA checkpoint
+# final 32-image FID set from the EMA checkpoint
+if [ $(left) -gt 900 ]; then
 python -m stablediffusion_pytorch_tpu.tools.batch_condition_image_generator \
-  --config $CFG --ckpt "$EMA" --vqvae-ckpt "$VQ" --limit 64 --batch-size 8 \
+  --config $CFG --ckpt "$EMA" --vqvae-ckpt "$VQ" --limit 32 --batch-size 8 \
   --steps 50 --cf-guidance-scale 2.0 --out-dir $R/fid_set > $R/fidgen.log 2>&1
 python -m stablediffusion_pytorch_tpu.tools.fid_evaluation \
   --real-dir data/synthface256/CelebA-HQ-img --fake-dir $R/fid_set \
   --image-size 256 --limit 1000 > $R/fid.log 2>&1
+fi
 date +%s > $R/t_fid_end
 
 # prompt-steering A/B at the production scale
+if [ $(left) -gt 600 ]; then
 python -m stablediffusion_pytorch_tpu.tools.prompt_ab \
   --config $CFG --ckpt "$EMA" --vqvae-ckpt "$VQ" \
   --prompts "This person has long black hair and brown eyes.|This person has long blond hair and blue eyes." \
-  --region hair --num-per-prompt 8 --steps 100 --cf-guidance-scale 4.0 \
+  --region hair --num-per-prompt 6 --steps 50 --cf-guidance-scale 4.0 \
   --output-root $R/prompt_ab > $R/prompt_ab.log 2>&1
+fi
 date +%s > $R/t_ab_end
 
 echo SYNTHFACE256_V2_DONE
