@@ -117,14 +117,11 @@ def _note(msg):
 def worker(result_path):
     """Measure; write result/progress JSON to result_path. No stdout."""
     import jax
-    cache_dir = os.path.expanduser("~/.cache/sdtpu/xla_cache_tpu")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from stablediffusion_pytorch_tpu.utils.xla_cache import (
+        configure_persistent_cache,
+    )
+
+    configure_persistent_cache(jax, "tpu")
     import jax.numpy as jnp
     import numpy as np
     from flax import nnx

@@ -28,19 +28,16 @@ from stablediffusion_pytorch_tpu.config.loader import Config, load_config
 # measured 152 s cold and 29 s warm-from-cache this round; single programs
 # were observed taking >6 min cold), so caching executables to disk is the
 # difference between pipeline stages resuming in seconds vs minutes.
-# Opt out with SDTPU_NO_CACHE=1. NOTE: a process killed mid-write can leave
-# a truncated entry that segfaults deserialization on the next run — if a
-# tool starts segfaulting in compilation_cache, delete the cache dir
-# (same caveat as tests/conftest.py for the CPU cache).
+# Opt out with SDTPU_NO_CACHE=1. A tool forced onto the host backend
+# (JAX_PLATFORMS=cpu) gets the host-fingerprinted CPU cache instead — its
+# AOT entries are machine-shape-specific (see utils/xla_cache.py).
 if os.environ.get("SDTPU_NO_CACHE") != "1":
-    _cache_dir = os.path.expanduser("~/.cache/sdtpu/xla_cache_tpu")
-    try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - read-only fs etc.
-        pass
+    from stablediffusion_pytorch_tpu.utils.xla_cache import (
+        configure_persistent_cache,
+    )
+
+    configure_persistent_cache(
+        jax, "cpu" if _env_platforms == "cpu" else "tpu")
 from stablediffusion_pytorch_tpu.data import CelebDataset, MnistDataset
 from stablediffusion_pytorch_tpu.models import DIT, VQVAE, Unet
 

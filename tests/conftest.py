@@ -21,16 +21,15 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the suite is compile-bound (VERDICT W8), and
 # most programs are identical run-over-run. Cache XLA executables to disk so
-# only the first-ever run pays the compile cost.
-# NOTE: a pytest process killed mid-write can leave a truncated cache entry;
-# jax deserializes it without validation and SEGFAULTS in
-# compilation_cache.get_executable_and_time on the next run. If the suite
-# starts segfaulting there, delete ~/.cache/sdtpu/xla_cache.
-_CACHE_DIR = os.path.expanduser("~/.cache/sdtpu/xla_cache")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# only the first-ever run pays the compile cost. The directory is keyed by a
+# host-CPU fingerprint — XLA:CPU AOT entries from a differently-shaped VM
+# (pre-reboot) can SIGILL (see utils/xla_cache.py for the truncated-entry
+# segfault caveat too).
+from stablediffusion_pytorch_tpu.utils.xla_cache import (  # noqa: E402
+    configure_persistent_cache,
+)
+
+configure_persistent_cache(jax, "cpu")
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -126,3 +126,35 @@ class TestResizeAndArtifacts:
                                            "config_snapshot.json"))
         persist_loss_history(arts["run_dir"], [3.0, 2.0, 1.0], [2])
         assert os.path.exists(os.path.join(arts["run_dir"], "losses.csv"))
+
+
+class TestXlaCacheDirs:
+    """utils/xla_cache: CPU cache dirs are host-fingerprinted (XLA:CPU AOT
+    entries from a differently-shaped VM can SIGILL — see module docstring),
+    TPU dir is shared."""
+
+    def test_kinds_distinct_and_stable(self):
+        from stablediffusion_pytorch_tpu.utils import xla_cache
+
+        cpu1, cpu2 = xla_cache.cache_dir("cpu"), xla_cache.cache_dir("cpu")
+        assert cpu1 == cpu2  # fingerprint is deterministic per host
+        assert xla_cache.host_cpu_fingerprint() in cpu1
+        assert xla_cache.cache_dir("tpu") != cpu1
+        assert "xla_cache_tpu" in xla_cache.cache_dir("tpu")
+        import pytest
+
+        with pytest.raises(ValueError):
+            xla_cache.cache_dir("gpu")
+
+    def test_configure_points_jax_at_dir(self):
+        import jax
+
+        from stablediffusion_pytorch_tpu.utils import xla_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            assert xla_cache.configure_persistent_cache(jax, "cpu")
+            assert (jax.config.jax_compilation_cache_dir
+                    == xla_cache.cache_dir("cpu"))
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
