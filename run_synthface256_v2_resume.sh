@@ -1,26 +1,30 @@
 #!/bin/bash
 # Tail of run_synthface256_v2.sh, restarted after the orchestrator shell
 # died with the previous session while the stage-1 VQVAE trainer (still
-# alive) kept running. Waits for that trainer to finish, then runs the
-# remaining evidence stages with a fresh deadline. Same stage commands and
-# artifact layout as run_synthface256_v2.sh:26-101.
+# alive) kept running. v3: reuses the latent shards infer_vqvae already
+# pickles (the preset sets save_latents, and infer_vqvae's encode path and
+# shard format are identical to gen_vqvae_latents) instead of re-encoding
+# all 3000 256^2 images a second time — on this 1-vCPU VM the host PNG
+# decode dominates and the duplicate pass costs ~40 min. Shards are
+# pickle-validated first (an earlier racing writer was killed mid-run);
+# any invalid/missing shard falls back to gen_vqvae_latents.
+# Same stage commands and artifact layout as run_synthface256_v2.sh:26-101.
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 R=runs_evidence256_v2
 CFG=synthface256_text_image_cond
 
-# Wait (bounded) for the in-flight VQVAE trainer to exit.
-VQ_PID=${SF256_VQ_PID:-1208}
-for i in $(seq 1 240); do
-  kill -0 "$VQ_PID" 2>/dev/null || break
-  sleep 30
-done
-if kill -0 "$VQ_PID" 2>/dev/null; then
-  echo "VQVAE trainer still alive after 2h wait — aborting tail" >&2
-  exit 2
+# Wait (bounded) for the in-flight infer_vqvae (orphaned child of the old
+# resumer) to finish writing its recon grid + latent shards.
+WAIT_PID=${SF256_WAIT_PID:-}
+if [ -n "$WAIT_PID" ]; then
+  for i in $(seq 1 240); do
+    kill -0 "$WAIT_PID" 2>/dev/null || break
+    sleep 30
+  done
+  kill -0 "$WAIT_PID" 2>/dev/null && { echo "stage still alive after 2h" >&2; exit 2; }
 fi
-date +%s > $R/t_vqvae_end
 
 DEADLINE=${SF256_DEADLINE:-$(( $(date +%s) + 10800 ))}
 left() { echo $(( DEADLINE - $(date +%s) )); }
@@ -28,13 +32,31 @@ left() { echo $(( DEADLINE - $(date +%s) )); }
 VQ=$(ls -d $R/vqvae/*/synthface256/checkpoints/vqvae_autoencoder_ckpt | head -1)
 [ -d "$VQ" ] || { echo "no VQVAE latest ckpt" >&2; exit 1; }
 
-python -m stablediffusion_pytorch_tpu.tools.infer_vqvae \
-  --config $CFG --ckpt "$VQ" \
-  --output-root $R/recon > $R/recon.log 2>&1
-
-python -m stablediffusion_pytorch_tpu.tools.gen_vqvae_latents \
-  --config $CFG --ckpt "$VQ" --batch-size 16 \
-  --output-root $R/latents > $R/latents.log 2>&1 || exit 1
+# Reuse infer_vqvae's latent shards if all three validate; else regenerate.
+if python - <<'EOF'
+import pickle, sys, glob
+shards = sorted(glob.glob("runs_evidence256_v2/recon/synthface256/vqvae_latents/*.pkl"))
+total = 0
+for s in shards:
+    try:
+        with open(s, "rb") as f:
+            d = pickle.load(f)
+        total += len(d)
+    except Exception as e:
+        print(f"bad shard {s}: {e}", file=sys.stderr)
+        sys.exit(1)
+print(f"validated {len(shards)} shards, {total} latents", file=sys.stderr)
+sys.exit(0 if total == 3000 else 1)
+EOF
+then
+  mkdir -p $R/latents/synthface256
+  rm -rf $R/latents/synthface256/vqvae_latents
+  cp -al $R/recon/synthface256/vqvae_latents $R/latents/synthface256/vqvae_latents
+else
+  python -m stablediffusion_pytorch_tpu.tools.gen_vqvae_latents \
+    --config $CFG --ckpt "$VQ" --batch-size 16 \
+    --output-root $R/latents > $R/latents.log 2>&1 || exit 1
+fi
 date +%s > $R/t_latents_end
 
 LDM_BUDGET=$(( $(left) - 1800 ))
