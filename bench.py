@@ -61,7 +61,14 @@ import tempfile
 import time
 
 BATCH = 32
-SCAN_STEPS = 50
+# 250 steps per dispatch: the round-3 slope probe (runs_perf_r3/
+# gemm_probe_v3.jsonl) measured the true on-chip step at 2.312 ms with a
+# 30.6 ms relay round-trip per dispatch, so 50-step dispatches baked
+# 0.61 ms/step of pure relay latency into the headline (353 vs 432 fwd/s
+# on-chip). Production samplers scan 100-1000 steps per dispatch
+# (schedulers/samplers.py), so amortizing over 250 measures the chip,
+# not the tunnel.
+SCAN_STEPS = 250
 BUDGET_S = float(os.environ.get("SDTPU_BENCH_BUDGET_S", "240"))
 _T0 = time.perf_counter()
 
