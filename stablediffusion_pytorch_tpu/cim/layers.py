@@ -506,15 +506,24 @@ class _AddaState(QuantState):
 
     def update_adc_gain_for_bits(self, adc_bit_old, dac_bit_old,
                                  weight_bit_old):
-        """Gain rescale on bit change (reference: layers_qn_lsq_adda.py:
-        108-126, floor 1.0)."""
+        """Gain rescale on bit change, clamped to [0.8*gain_min,
+        1.2*gain_max] (reference: layers_utils_adda.py:53-74). Round-3 fix:
+        this used to floor at 1.0, which for TC05-style sub-unity gain
+        ranges (gain fixed at 1/64) would snap the gain 64x too high on any
+        adc/dac/weight bit change and saturate the ADC."""
         g = float(self.adc_gain[...])
+        changed = False
         if adc_bit_old != self.adc_bit:
-            g = max(g * 2 ** (self.adc_bit - adc_bit_old), 1.0)
+            g = g * 2 ** (self.adc_bit - adc_bit_old)
+            changed = True
         if dac_bit_old != self.dac_bit:
-            g = max(g / 2 ** (self.dac_bit - dac_bit_old), 1.0)
+            g = g / 2 ** (self.dac_bit - dac_bit_old)
+            changed = True
         if weight_bit_old != self.weight_bit:
-            g = max(g / 2 ** (self.weight_bit - weight_bit_old), 1.0)
+            g = g / 2 ** (self.weight_bit - weight_bit_old)
+            changed = True
+        if changed:
+            g = min(max(g, 0.8 * self.adc_gain_min), 1.2 * self.adc_gain_max)
         self.adc_gain.value = jnp.asarray(g)
 
     def update_para(self, adc_bit=None, dac_bit=None, **kw):

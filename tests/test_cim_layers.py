@@ -301,3 +301,28 @@ class TestProgressiveHarness:
         assert energy["conv"]["acim_energy_j"] > 0
         assert energy["conv"]["dmac_energy_j"] > 0
         assert 0 < energy["conv"]["acim_utilization"] <= 1
+
+
+class TestAdcGainBitRescale:
+    def test_tc05_subunity_gain_survives_bit_change(self):
+        """Round-3 regression: with a TC05-style fixed sub-unity gain range
+        (1/64), a dac/adc/weight bit change must rescale the gain within
+        [0.8*gain_min, 1.2*gain_max] (reference layers_utils_adda.py:53-74),
+        NOT floor it at 1.0 — the old floor snapped the ADC scale 64x too
+        high and saturated every block."""
+        linear = make_linear(cin=16, cout=16)
+        q = LinearLsqAddaCim(linear, weight_bit=4, input_bit=8, output_bit=8,
+                             dac_bit=5, adc_bit=8, adc_k=9.071428571,
+                             array_size=(8, 8))
+        q.adc_adjust_mode = "current"
+        q.adc_gain_min = 1 / 64
+        q.adc_gain_max = 1 / 64
+        q.adc_gain.value = jnp.asarray(1 / 64)
+        q.update_para(dac_bit=4)  # halves the DAC range -> gain doubles
+        g = float(q.adc_gain[...])
+        assert g <= 1.2 * q.adc_gain_max + 1e-9, g
+        assert g >= 0.8 * q.adc_gain_min - 1e-9, g
+        # and an unchanged update leaves the gain alone
+        q.adc_gain.value = jnp.asarray(1 / 64)
+        q.update_para(dac_bit=4)
+        assert abs(float(q.adc_gain[...]) - 1 / 64) < 1e-9
