@@ -224,7 +224,13 @@ class ConvChipSim:
         self.kernel_size = kh
         self.stride = stride
         self.padding = padding
-        self.w2d = np.asarray(kernel_hwio).reshape(kh * kw * cin, cout)
+        # feature_map_to_input flattens (C, kh, kw) windows CHANNEL-major,
+        # so the weight rows must be IHWO-ordered (round-3 fix — the plain
+        # HWIO reshape scrambled the contraction; the old test only checked
+        # shapes)
+        self.w2d = np.ascontiguousarray(
+            np.transpose(np.asarray(kernel_hwio), (2, 0, 1, 3))
+        ).reshape(cin * kh * kw, cout)
         self.kw = dict(it_time=it_time, dac_bits=dac_bits,
                        adc_bits=adc_bits, noise_scale=noise_scale)
         self.rng = np.random.default_rng(seed)

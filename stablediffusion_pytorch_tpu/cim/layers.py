@@ -733,8 +733,15 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         self._init_cim(array_size)
 
     def _im2col(self, x):
-        """NHWC patches -> (b, n_patches, K) with K = kh*kw*in_ch (matches
-        the reference's nn.Unfold row layout after the 2-D weight reshape)."""
+        """NHWC patches -> (b, n_patches, K) with K = in_ch*kh*kw.
+
+        ``jax.lax.conv_general_dilated_patches`` emits the feature axis
+        CHANNEL-major (in_ch, kh, kw) — the same row layout as the
+        reference's ``nn.Unfold`` on NCHW — so the weight 2-D view below
+        must be built from an IHWO transpose. (Round-3 fix: the original
+        (kh, kw, in)-major weight reshape scrambled every CIM conv and was
+        the root cause of the broken ADDA-stage QAT evidence — conversion
+        loss 1.0 at 8-bit ideal settings, runs_evidence_qat_r3/qat_ladder.)"""
         kh, kw = self.kernel_size
         pad = self.padding
         if isinstance(pad, str):
@@ -763,9 +770,11 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         x2d, (oh, ow) = self._im2col(merged)
         x2d = x2d.reshape(bit_len, b, x2d.shape[1], x2d.shape[2])
 
-        # (kh, kw, in, out) -> (K, out): rows = receptive field, cols = out ch
+        # (kh, kw, in, out) -> (in*kh*kw, out): rows CHANNEL-major to match
+        # the patches layout (see _im2col docstring)
         kh, kw = self.kernel_size
-        w2d = w.reshape(kh * kw * w.shape[2], self.out_channels)
+        w2d = jnp.transpose(w, (2, 0, 1, 3)).reshape(
+            w.shape[2] * kh * kw, self.out_channels)
 
         out = self._cim_matmul(x2d, w2d, adc_scale)       # (s, b, n, C)
         out = _bit_concat_axis(out, self.slice_bit)        # (b, n, C)

@@ -53,18 +53,24 @@ LATENTS = sys.argv[3] if len(sys.argv) > 3 else None
 N_BATCHES = 6
 BATCH = 16
 
+# every rung uses the reference's TC05 ADC transfer (gain fixed 1/64,
+# adc_k 9.071 -> scale 0.1417, mode "current"; Model_DiT_9L_train.py:587-590)
+# so the ladder varies ONE physics knob at a time. An earlier revision left
+# the default gain floor (1.0) in the non-TC05 rungs, which saturated the
+# ADC and made even the ideal rung look broken — that was a harness
+# misconfiguration, not a layer bug (see runs_evidence_qat_r3/ladder_*).
 RUNGS = [
     ("fp", None),
-    ("ideal", dict(weight_bit=8, input_bit=8, output_bit=8,
-                   dac_bit=8, adc_bit=12, noise_scale=0.0)),
+    ("ideal_adc12", dict(weight_bit=8, input_bit=8, output_bit=8,
+                         dac_bit=8, adc_bit=12, noise_scale=0.0)),
     ("w4", dict(weight_bit=4, input_bit=8, output_bit=8,
                 dac_bit=8, adc_bit=12, noise_scale=0.0)),
     ("dac5", dict(weight_bit=4, input_bit=8, output_bit=8,
                   dac_bit=5, adc_bit=12, noise_scale=0.0)),
     ("adc8", dict(weight_bit=4, input_bit=8, output_bit=8,
-                  dac_bit=5, adc_bit=8, noise_scale=0.0, tc05=True)),
+                  dac_bit=5, adc_bit=8, noise_scale=0.0)),
     ("production", dict(weight_bit=4, input_bit=8, output_bit=8,
-                        dac_bit=5, adc_bit=8, noise_scale=0.08, tc05=True)),
+                        dac_bit=5, adc_bit=8, noise_scale=0.08)),
 ]
 
 
@@ -130,7 +136,6 @@ def main():
         load_model(fp_ckpt, model)
         if knobs is not None:
             kn = dict(knobs)
-            tc05 = kn.pop("tc05", False)
             pt = ProgressiveTrain(model)
             # direct FP -> ADDA: source types are the PLAIN nn layers
             # (the pipeline's ADDA stage converts custom_layers because it
@@ -140,11 +145,15 @@ def main():
                 adc_k=9.071428571, array_size=(576, 2048), **kn)
             assert n > 0, "conversion matched zero layers"
             print(json.dumps({"rung": tag, "converted": n}), flush=True)
-            if tc05:
-                for _, m in pt.customized_layers():
-                    m.adc_adjust_mode = "current"
-                    m.adc_gain_min = 1 / 64
-                    m.adc_gain_max = 1 / 64
+            # the ADC scale must track adc_bit: gain ~ adc_range/(absmax*adc_k).
+            # TC05's shipped 1/64 is calibrated FOR adc_bit=8; at adc_bit=12
+            # the same physics gives 16x the range, so gain 16/64 keeps the
+            # quantization step equal in raw units while clipping vanishes.
+            g = (2 ** (kn["adc_bit"] - 8)) / 64
+            for _, m in pt.customized_layers():
+                m.adc_adjust_mode = "current"
+                m.adc_gain_min = g
+                m.adc_gain_max = g
             map_weight_for_model(model, array_size=(576, 2048),
                                  array_device_name="TC05")
             lat0, cond0 = batches[0]
