@@ -53,22 +53,21 @@ LATENTS = sys.argv[3] if len(sys.argv) > 3 else None
 N_BATCHES = 6
 BATCH = 16
 
-# every rung uses the reference's TC05 ADC transfer (gain fixed 1/64,
-# adc_k 9.071 -> scale 0.1417, mode "current"; Model_DiT_9L_train.py:587-590)
-# so the ladder varies ONE physics knob at a time. An earlier revision left
-# the default gain floor (1.0) in the non-TC05 rungs, which saturated the
-# ADC and made even the ideal rung look broken — that was a harness
-# misconfiguration, not a layer bug (see runs_evidence_qat_r3/ladder_*).
+# Every rung anchors at the TC05 operating point (w4, dac5, adc8,
+# gain 1/64, adc_k 9.071 — Model_DiT_9L_train.py:587-590) and varies ONE
+# knob, with the gain re-derived by the reference's bit bookkeeping
+# (layers_utils_adda.py:53-74): gain = 1/64 * 2^(adc-8) / 2^(dac-5)
+# / 2^(w-4). Without that bookkeeping a "relaxed" rung clips its fatter
+# DAC slices and looks WORSE than production — an earlier revision of
+# this harness made exactly that mistake (kept in git history).
 RUNGS = [
     ("fp", None),
-    ("ideal_adc12", dict(weight_bit=8, input_bit=8, output_bit=8,
-                         dac_bit=8, adc_bit=12, noise_scale=0.0)),
-    ("w4", dict(weight_bit=4, input_bit=8, output_bit=8,
-                dac_bit=8, adc_bit=12, noise_scale=0.0)),
-    ("dac5", dict(weight_bit=4, input_bit=8, output_bit=8,
-                  dac_bit=5, adc_bit=12, noise_scale=0.0)),
-    ("adc8", dict(weight_bit=4, input_bit=8, output_bit=8,
-                  dac_bit=5, adc_bit=8, noise_scale=0.0)),
+    ("relaxed_w8_adc12", dict(weight_bit=8, input_bit=8, output_bit=8,
+                              dac_bit=5, adc_bit=12, noise_scale=0.0)),
+    ("w4_adc12", dict(weight_bit=4, input_bit=8, output_bit=8,
+                      dac_bit=5, adc_bit=12, noise_scale=0.0)),
+    ("w4_adc8", dict(weight_bit=4, input_bit=8, output_bit=8,
+                     dac_bit=5, adc_bit=8, noise_scale=0.0)),
     ("production", dict(weight_bit=4, input_bit=8, output_bit=8,
                         dac_bit=5, adc_bit=8, noise_scale=0.08)),
 ]
@@ -145,11 +144,8 @@ def main():
                 adc_k=9.071428571, array_size=(576, 2048), **kn)
             assert n > 0, "conversion matched zero layers"
             print(json.dumps({"rung": tag, "converted": n}), flush=True)
-            # the ADC scale must track adc_bit: gain ~ adc_range/(absmax*adc_k).
-            # TC05's shipped 1/64 is calibrated FOR adc_bit=8; at adc_bit=12
-            # the same physics gives 16x the range, so gain 16/64 keeps the
-            # quantization step equal in raw units while clipping vanishes.
-            g = (2 ** (kn["adc_bit"] - 8)) / 64
+            g = (1 / 64) * 2 ** (kn["adc_bit"] - 8) \
+                / 2 ** (kn["dac_bit"] - 5) / 2 ** (kn["weight_bit"] - 4)
             for _, m in pt.customized_layers():
                 m.adc_adjust_mode = "current"
                 m.adc_gain_min = g
