@@ -51,6 +51,32 @@ class TestYamlPresets:
                 == rc.image_condition_config.image_condition_input_channels)
         assert cfg.diffusion_params.beta_start == ref.diffusion_params.beta_start
 
+    def test_synthface256_dit_presets_match_reference_geometry(self):
+        """The 256^2 DiT presets carry the reference's DiT geometry
+        (Model_DiT_12L_config.py:125-133 / Model_DiT_9L_config.py:145-153:
+        hidden 288, patch 2, 9 heads x head_dim 32) and the flagship's
+        text+mask conditioning so the three-way family comparison is
+        apples-to-apples."""
+        for name, layers in [("synthface256_dit12", 12),
+                             ("synthface256_dit9", 9)]:
+            cfg = load_config(name)
+            dm = cfg.dit_model_config
+            assert dm.hidden_size == 288
+            assert dm.patch_size == 2
+            assert dm.num_layers == layers
+            assert dm.num_heads == 9
+            assert dm.head_dim == 32
+            assert dm.condition_config.condition_types == ["text", "image"]
+            # same latent geometry as the UNet flagship run
+            assert cfg.dataset_params.im_size == 256
+            assert cfg.autoencoder_params.down_sample == [True, True, True]
+            # dit_model_config and ldm_params must agree on conditioning
+            # (trainer data-prep reads ldm_params, model builder reads
+            # dit_model_config)
+            lc = cfg.ldm_params.condition_config
+            assert (lc.text_condition_config.text_embed_dim
+                    == dm.condition_config.text_condition_config.text_embed_dim)
+
     def test_unknown_config_raises(self):
         with pytest.raises(FileNotFoundError):
             load_config("nonexistent_config")
