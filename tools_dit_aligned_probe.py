@@ -43,11 +43,11 @@ def build(cfg_name):
 
     def chain(steps):
         @jax.jit
-        def run(state, x, t, mask):
+        def run(state, x, t, mask, text):
             m = nnx.merge(graphdef, state)
 
             def body(carry, _):
-                out = m(carry, t, {"image": mask})
+                out = m(carry, t, {"image": mask, "text": text})
                 return carry + 0.01 * out, None
 
             x, _ = jax.lax.scan(body, x, None, length=steps)
@@ -66,15 +66,17 @@ def measure(name):
     x = jax.random.normal(key, (BATCH, 32, 32, 4), jnp.bfloat16)
     t = jnp.full((BATCH,), 500, jnp.int32)
     mask = jnp.zeros((BATCH, 32, 32, 18), jnp.bfloat16)
+    # text context at the production shape (77-token CLIP sequence)
+    text = jnp.zeros((BATCH, 77, 512), jnp.bfloat16)
     # warm both programs (first relay compile is slow, cached after)
-    np.asarray(run_s(state, x, t, mask)[:1])
-    np.asarray(run_l(state, x, t, mask)[:1])
+    np.asarray(run_s(state, x, t, mask, text)[:1])
+    np.asarray(run_l(state, x, t, mask, text)[:1])
     slopes = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.asarray(run_s(state, x, t, mask)[:1])
+        np.asarray(run_s(state, x, t, mask, text)[:1])
         t1 = time.perf_counter()
-        np.asarray(run_l(state, x, t, mask)[:1])
+        np.asarray(run_l(state, x, t, mask, text)[:1])
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (LONG - SHORT))
     ms = float(np.median(slopes) * 1e3)
