@@ -170,24 +170,47 @@ class LdmAndiTrainer(ProgressiveTrain):
                 == jax.tree_util.tree_structure(trainer.ema_params)):
             trainer.ema_params = self._ema
         losses = []
-        for _ in range(epochs):
+        save_every = getattr(self.args, "save_every_epoch", False)
+        for ep in range(epochs):
+            ep_losses = []
             for lat, cond in self.data_iter_fn():
                 self.key, k = jax.random.split(self.key)
                 m = trainer.train_step(lat, cond, k)
-                losses.append(m["loss"])
+                ep_losses.append(m["loss"])
+            losses.extend(ep_losses)
+            if epochs > 1:
+                ep_mean = (float(np.mean([float(v) for v in ep_losses]))
+                           if ep_losses else float("nan"))
+                log.info("stage %s cycle %d epoch %d/%d: mean loss %.4f",
+                         self.stage, cycle, ep, epochs, ep_mean)
+                if self.run_dir:
+                    ep_csv = os.path.join(self.run_dir, "qat_epochs.csv")
+                    new = not os.path.exists(ep_csv)
+                    with open(ep_csv, "a") as f:
+                        if new:
+                            f.write("stage,cycle,epoch,mean_loss\n")
+                        f.write(f"{self.stage},{cycle},{ep},{ep_mean:.6f}\n")
+                if save_every and self.run_dir:
+                    # long extension stages checkpoint per epoch so a
+                    # multi-hour run survives interruption (the cycle-end
+                    # save below remains the canonical artifact)
+                    self._save_stage_ckpt()
         self._ema = trainer.ema_params
         mean_loss = float(np.mean([float(v) for v in losses])) if losses else float("nan")
         log.info("stage %s cycle %d: mean loss %.4f over %d steps",
                  self.stage, cycle, mean_loss, len(losses))
         self._record_trajectory(cycle, mean_loss, len(losses))
         if self.run_dir:
-            lyr = self.customized_layers()
-            wb = lyr[0][1].weight_bit if lyr else "fp"
-            ns = lyr[0][1].noise_scale if lyr else 0.0
-            ckpt_dir = os.path.join(self.run_dir, self.stage,
-                                    f"w{wb}b_{ns:.3f}" if lyr else "fp")
-            save_model(os.path.join(ckpt_dir, "ddpm_ckpt"), self.model)
+            self._save_stage_ckpt()
         return mean_loss
+
+    def _save_stage_ckpt(self) -> None:
+        lyr = self.customized_layers()
+        wb = lyr[0][1].weight_bit if lyr else "fp"
+        ns = lyr[0][1].noise_scale if lyr else 0.0
+        ckpt_dir = os.path.join(self.run_dir, self.stage,
+                                f"w{wb}b_{ns:.3f}" if lyr else "fp")
+        save_model(os.path.join(ckpt_dir, "ddpm_ckpt"), self.model)
 
 
 def run_pipeline(args, data_iter_fn, cfg=None):
@@ -259,6 +282,27 @@ def run_pipeline(args, data_iter_fn, cfg=None):
 
     if "LSQ_ADDA" in stages:
         trainer.stage = "LSQ_ADDA"
+        adda_resume = getattr(args, "adda_resume", None)
+        if adda_resume and "LSQ" not in stages and "LSQ_AnDi" not in stages:
+            # Extension runs resume a finished pipeline's final ADDA state
+            # (e.g. to give the input_bit=5 tightening the reference's
+            # 250-epoch-scale budget, Model_DiT_9L_train.py:593, without
+            # repaying the earlier stages). Rebuild the exact module tree
+            # of a full LSQ->AnDi->ADDA run — same conversion order and
+            # adapter insertion as the stage branches above — so the saved
+            # quantized checkpoint (step sizes, ADC gains, enhance blends)
+            # loads structure-identically.
+            trainer.convert_to_layers(
+                list(reg_dict.nn_layers), "layers_qn_lsq",
+                noise_scale=andi_cfg.qna_noise_range[0],
+                input_bit=andi_cfg.qna_feature_bit_range[0],
+                output_bit=andi_cfg.qna_feature_bit_range[0],
+                weight_bit=andi_cfg.qna_weight_bit_range[0])
+            if not getattr(args, "no_enhance", False):
+                trainer.add_enhance_branch_LoR(
+                    ops_factor=args.enhance_ops_factor)
+                trainer.add_enhance_layers(
+                    ops_factor=args.enhance_ops_factor)
         trainer.convert_to_layers(
             list(reg_dict.custom_layers), "layers_qn_lsq_adda_cim",
             noise_scale=andi_cfg.adda_noise_range[0],
@@ -275,9 +319,33 @@ def run_pipeline(args, data_iter_fn, cfg=None):
             m.adc_gain_max = 1 / 64
         map_weight_for_model(model, array_size=tuple(args.array_size),
                              array_device_name=args.array_device)
-        trainer._calibrated = False
+        ncyc = args.cycles or andi_cfg.adda_cycle
+        start_cycle = 0
+        if adda_resume:
+            # Jump the static quant state to the FINAL cycle's params
+            # BEFORE loading: update_para's bit-change step rescale
+            # (layers_utils_lsq.py:11-28 semantics) must act on the
+            # conversion placeholders, not on the trained step sizes the
+            # checkpoint is about to restore (bits are static python
+            # attrs, not checkpointed state).
+            trainer.update_layer_parameter(
+                weight_bit=andi_cfg.adda_weight_bit_range[1],
+                input_bit=andi_cfg.adda_input_bit_range[1],
+                output_bit=andi_cfg.adda_output_bit_range[1],
+                noise_scale=andi_cfg.adda_noise_range[1],
+                dac_bit=andi_cfg.adda_dac_bit_range[1],
+                adc_bit=andi_cfg.adda_adc_bit_range[1])
+            trainer.load_model(adda_resume)
+            # loaded step sizes/gains are already trained — a fresh
+            # absmax calibration pass would clobber them
+            trainer._calibrated = True
+            start_cycle = ncyc - 1
+            log.info("resumed final ADDA state from %s (start_cycle=%d)",
+                     adda_resume, start_cycle)
+        else:
+            trainer._calibrated = False
         trainer.progressive_train(
-            qn_cycle=args.cycles or andi_cfg.adda_cycle,
+            qn_cycle=ncyc, start_cycle=start_cycle,
             weight_bit_range=andi_cfg.adda_weight_bit_range,
             input_bit_range=andi_cfg.adda_input_bit_range,
             output_bit_range=andi_cfg.adda_output_bit_range,
@@ -578,6 +646,14 @@ def main():
                         default=[576, 2048])
     parser.add_argument("--array-device", default="TC05")
     parser.add_argument("--resume", default=None)
+    parser.add_argument("--adda-resume", default=None,
+                        help="resume a finished pipeline's final-cycle "
+                             "LSQ_ADDA checkpoint and keep training that "
+                             "stage (use with --stages LSQ_ADDA; pair with "
+                             "--no-enhance iff the original run used it)")
+    parser.add_argument("--save-every-epoch", action="store_true",
+                        help="checkpoint after every epoch within a stage "
+                             "cycle (long extension runs)")
     parser.add_argument("--text-weights", default=None,
                         help="CLIP text-tower weights for text-conditioned "
                              "configs (hash fallback when absent)")
