@@ -169,3 +169,88 @@ class TestQatPipelineSmoke:
         lsq_dir = [d for d in
                    (tmp_path / "runs").rglob("LSQ")]
         assert lsq_dir
+
+
+class TestQatAddaResume:
+    """--adda-resume: extension runs rebuild the full quantized tree and
+    restore a finished pipeline's final LSQ_ADDA state without repaying the
+    earlier stages (reference analogue: the 250-epoch-per-cycle ADDA budget
+    of Model_DiT_9L_train.py:593 applied to a saved state)."""
+
+    @staticmethod
+    def _tiny_cfg():
+        from stablediffusion_pytorch_tpu.tools.train_qat import MODEL_PRESETS
+
+        cfg = MODEL_PRESETS["dit_12l"]()
+        cfg["dit_model_config"].update(hidden_size=16, num_layers=1,
+                                       num_heads=2, head_dim=8,
+                                       timestep_emb_dim=8)
+        cfg["condition_config"]["image_condition_config"].update(
+            image_condition_h=64, image_condition_w=64)
+        return cfg
+
+    @staticmethod
+    def _args(tmp_path, **kw):
+        import argparse
+
+        base = dict(model="dit_12l", stages="LSQ,LSQ_AnDi,LSQ_ADDA",
+                    cycles=2, epochs_per_cycle=1, batch_size=2,
+                    enhance_ops_factor=0.2, array_size=[64, 64],
+                    array_device="sim", resume=None,
+                    output_root=str(tmp_path / "runs"))
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    def _read_trajectory(self, root):
+        import csv
+
+        rows = []
+        for p in root.rglob("qat_trajectory.csv"):
+            with open(p) as f:
+                rows.extend(csv.DictReader(f))
+        return rows
+
+    @pytest.mark.slow
+    def test_adda_resume_restores_final_cycle_state(self, tmp_path):
+        from stablediffusion_pytorch_tpu.config import andi_config
+        from stablediffusion_pytorch_tpu.tools.train_qat import (
+            _synthetic_data_iter, run_pipeline,
+        )
+
+        cfg = self._tiny_cfg()
+        run_pipeline(self._args(tmp_path),
+                     _synthetic_data_iter(cfg, 2, n_batches=1), cfg)
+        ckpts = sorted((tmp_path / "runs").rglob("LSQ_ADDA/*/ddpm_ckpt"))
+        assert ckpts, "full pipeline wrote no ADDA stage checkpoint"
+        rows1 = [r for r in self._read_trajectory(tmp_path / "runs")
+                 if r["stage"] == "LSQ_ADDA"]
+        assert [int(r["cycle"]) for r in rows1] == [0, 1]
+        final1 = rows1[-1]
+
+        # resume into a FRESH process-equivalent: new model, rebuilt tree.
+        # A zero-batch iterator means no optimizer step runs, so the
+        # recorded step sizes must be EXACTLY the restored final state.
+        args2 = self._args(tmp_path, stages="LSQ_ADDA",
+                           adda_resume=str(ckpts[-1]),
+                           epochs_per_cycle=2, save_every_epoch=True,
+                           output_root=str(tmp_path / "runs2"))
+        trainer2, _ = run_pipeline(args2, lambda: iter(()), self._tiny_cfg())
+
+        rows2 = [r for r in self._read_trajectory(tmp_path / "runs2")
+                 if r["stage"] == "LSQ_ADDA"]
+        # start_cycle jumped straight to the final cycle
+        assert [int(r["cycle"]) for r in rows2] == [1]
+        assert int(rows2[0]["input_bit"]) == andi_config.adda_input_bit_range[1]
+        # restored step sizes match the donor run's final recorded state
+        assert float(rows2[0]["mean_step_size_weight"]) == pytest.approx(
+            float(final1["mean_step_size_weight"]), abs=2e-6)
+        assert float(rows2[0]["mean_step_size_input"]) == pytest.approx(
+            float(final1["mean_step_size_input"]), abs=2e-6)
+        # rebuilt tree carries the enhance adapters of the donor pipeline
+        names = [n for n, _ in trainer2.customized_layers()]
+        assert len(names) > 0
+        # per-epoch trajectory + checkpoints (save_every_epoch)
+        ep_csv = list((tmp_path / "runs2").rglob("qat_epochs.csv"))
+        assert ep_csv, "per-epoch CSV missing"
+        with open(ep_csv[0]) as f:
+            assert sum(1 for _ in f) == 3  # header + 2 epochs
