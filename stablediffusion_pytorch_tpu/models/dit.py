@@ -351,8 +351,12 @@ class DIT(nnx.Module):
             self.patch_height * self.patch_width * im_channels,
             kernel_init=_zeros, bias_init=_zeros, **kw)
 
-    def __call__(self, x: jax.Array, t: jax.Array,
-                 cond_input: Optional[dict] = None) -> jax.Array:
+    def prepare(self, x: jax.Array, t: jax.Array,
+                cond_input: Optional[dict] = None):
+        """Prologue shared by __call__ and the pipeline-parallel driver
+        (parallel/pp.py): image-cond concat + patchify + t-emb (+ class
+        add) + text context. Returns ``(tokens, t_emb, context)``; the
+        transformer stack then runs between prepare() and finalize()."""
         if self.cond:
             assert cond_input is not None, \
                 "Model initialized with conditioning so cond_input cannot be None"
@@ -387,6 +391,32 @@ class DIT(nnx.Module):
             assert "text" in cond_input, \
                 "Model initialized with text conditioning but cond_input has no text information"
             context = cond_input["text"].astype(out.dtype)
+        return out, t_emb, context
+
+    def finalize(self, out: jax.Array, t_emb: jax.Array,
+                 x_shape, shift_scale=None) -> jax.Array:
+        """Epilogue shared by __call__ and parallel/pp.py: final adaLN
+        (recomputed from t_emb unless __call__'s batched-GEMM columns are
+        passed in — identical math either way) + norm + proj + unpatchify."""
+        if shift_scale is None:
+            shift, scale = jnp.split(
+                self.adaptive_norm_layer(nnx.relu(t_emb)), 2, axis=-1)
+        else:
+            shift, scale = shift_scale
+        out = self.norm(out) * (1 + scale[:, None]) + shift[:, None]
+        out = self.proj_out(out)
+
+        b, h, w, _ = x_shape
+        ph, pw = self.patch_height, self.patch_width
+        nh, nw = h // ph, w // pw
+        # b (nh nw) (ph pw c) -> b (nh ph) (nw pw) c
+        out = out.reshape(b, nh, nw, ph, pw, self.im_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.im_channels)
+        return out
+
+    def __call__(self, x: jax.Array, t: jax.Array,
+                 cond_input: Optional[dict] = None) -> jax.Array:
+        out, t_emb, context = self.prepare(x, t, cond_input)
 
         # every layer's adaLN modulation is a small GEMM on the SAME
         # relu(t_emb) — batch all of them (plus the final adaLN) into one
@@ -407,23 +437,13 @@ class DIT(nnx.Module):
             for i, layer in enumerate(layers):
                 out = layer(out, t_emb, context,
                             mods=mods_all[:, i * h6:(i + 1) * h6])
-            shift, scale = jnp.split(mods_all[:, len(layers) * h6:], 2,
-                                     axis=-1)
+            shift_scale = jnp.split(mods_all[:, len(layers) * h6:], 2,
+                                    axis=-1)
         else:
             # analysis shims (ops_analyzer recorders) or module surgery can
             # replace the modulation Linear with a kernel-less callable —
             # fall back to per-layer modulation
             for layer in layers:
                 out = layer(out, t_emb, context)
-            shift, scale = jnp.split(
-                self.adaptive_norm_layer(t_relu), 2, axis=-1)
-        out = self.norm(out) * (1 + scale[:, None]) + shift[:, None]
-        out = self.proj_out(out)
-
-        b, h, w, _ = x.shape
-        ph, pw = self.patch_height, self.patch_width
-        nh, nw = h // ph, w // pw
-        # b (nh nw) (ph pw c) -> b (nh ph) (nw pw) c
-        out = out.reshape(b, nh, nw, ph, pw, self.im_channels)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.im_channels)
-        return out
+            shift_scale = None
+        return self.finalize(out, t_emb, x.shape, shift_scale=shift_scale)
