@@ -1,4 +1,5 @@
-"""Device mesh construction and sharding rules (DP over ICI)."""
+"""Device mesh construction and sharding rules: DP (mesh.py), Megatron
+TP (tp.py), GPipe PP (pp.py), multi-process launch (multiprocess.py)."""
 
 from stablediffusion_pytorch_tpu.parallel.mesh import (
     make_mesh_for_batch,
@@ -7,4 +8,14 @@ from stablediffusion_pytorch_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+)
+
+from stablediffusion_pytorch_tpu.parallel.tp import (
+    apply_tp_sharding,
+    tp_spec_for,
+)
+from stablediffusion_pytorch_tpu.parallel.pp import (
+    build_pp_forward,
+    stack_transformer_layers,
+    unstack_into_model,
 )
