@@ -142,22 +142,27 @@ def build_pp_forward(model, mesh: Mesh, *, n_microbatches: int,
                      data_axis: Optional[str] = None):
     """Build a pipeline-parallel DiT forward over ``mesh``.
 
-    Returns ``(forward, stacked_state)`` where
-    ``forward(stacked_state, x, t, cond_input)`` computes the same result
-    as ``model(x, t, cond_input)`` with the transformer-layer params taken
-    from ``stacked_state`` (leading layer axis sharded over ``pipe_axis``)
-    and everything else from ``model``. When ``data_axis`` is given the
-    batch additionally shards over it (hybrid DP×PP); ``n_microbatches``
-    must then divide the PER-DATA-SHARD batch.
+    Returns ``(forward, stacked_state, rest_state)`` where
+    ``forward(stacked_state, rest_state, x, t, cond_input)`` computes the
+    same result as ``model(x, t, cond_input)`` with the transformer-layer
+    params taken from ``stacked_state`` (leading layer axis sharded over
+    ``pipe_axis``) and the prologue/epilogue params (patch embed, t-emb
+    MLP, final adaLN, proj_out, conditioning projections) from
+    ``rest_state``. Both are function ARGUMENTS — not captured constants —
+    so a train step can differentiate and optimize the full model, not
+    just the pipelined stack. When ``data_axis`` is given the batch
+    additionally shards over it (hybrid DP×PP); ``n_microbatches`` must
+    then divide the PER-DATA-SHARD batch.
 
     ``stacked_state`` is a plain pytree of arrays already placed with the
     layer axis sharded — optimizer updates apply to it directly, and
-    :func:`unstack_into_model` writes it back for checkpointing. The
-    returned function is not jitted; wrap it (or the train step around it)
-    in ``jax.jit`` at the call site.
+    :func:`unstack_into_model` writes it back for checkpointing;
+    ``rest_state`` updates go back via ``nnx.update(model, rest_state)``.
+    The returned function is not jitted; wrap it (or the train step around
+    it) in ``jax.jit`` at the call site.
     """
     S = mesh.shape[pipe_axis]
-    graphdef, stacked = stack_transformer_layers(model)
+    layer_graphdef, stacked = stack_transformer_layers(model)
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     if n_layers % S:
         raise ValueError(
@@ -167,10 +172,16 @@ def build_pp_forward(model, mesh: Mesh, *, n_microbatches: int,
     stacked = jax.tree.map(
         lambda a: jax.device_put(a, layer_sharding), stacked)
 
+    # the non-stack params travel as an explicit argument so they get
+    # gradients too; the stack params inside this state are dead weight
+    # (prepare/finalize never touch transformer_layers) and XLA DCEs them
+    model_graphdef, rest_state = nnx.split(model)
+
     batch_spec = P(data_axis) if data_axis else P()
 
-    def forward(st, x, t, cond_input=None):
-        tokens, t_emb, context = model.prepare(x, t, cond_input)
+    def forward(st, rest, x, t, cond_input=None):
+        m = nnx.merge(model_graphdef, rest)
+        tokens, t_emb, context = m.prepare(x, t, cond_input)
         has_ctx = context is not None
         # shard_map wants array operands: no-text DiTs get a zero-width
         # dummy that is dropped inside the body
@@ -179,7 +190,7 @@ def build_pp_forward(model, mesh: Mesh, *, n_microbatches: int,
                               tokens.dtype))
 
         def body(s, tk, te, cx):
-            return pipeline_apply(graphdef, s, tk, te,
+            return pipeline_apply(layer_graphdef, s, tk, te,
                                   cx if has_ctx else None,
                                   n_microbatches=n_microbatches,
                                   axis_name=pipe_axis)
@@ -188,6 +199,6 @@ def build_pp_forward(model, mesh: Mesh, *, n_microbatches: int,
             body, mesh=mesh,
             in_specs=(P(pipe_axis), batch_spec, batch_spec, batch_spec),
             out_specs=batch_spec)(st, tokens, t_emb, ctx)
-        return model.finalize(out, t_emb, x.shape)
+        return m.finalize(out, t_emb, x.shape)
 
-    return forward, stacked
+    return forward, stacked, rest_state

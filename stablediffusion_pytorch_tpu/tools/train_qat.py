@@ -171,6 +171,7 @@ class LdmAndiTrainer(ProgressiveTrain):
             trainer.ema_params = self._ema
         losses = []
         save_every = getattr(self.args, "save_every_epoch", False)
+        saved_this_epoch = False
         for ep in range(epochs):
             ep_losses = []
             for lat, cond in self.data_iter_fn():
@@ -192,15 +193,17 @@ class LdmAndiTrainer(ProgressiveTrain):
                         f.write(f"{self.stage},{cycle},{ep},{ep_mean:.6f}\n")
                 if save_every and self.run_dir:
                     # long extension stages checkpoint per epoch so a
-                    # multi-hour run survives interruption (the cycle-end
-                    # save below remains the canonical artifact)
+                    # multi-hour run survives interruption (the final epoch's
+                    # save doubles as the cycle-end artifact)
                     self._save_stage_ckpt()
+                    saved_this_epoch = True
         self._ema = trainer.ema_params
         mean_loss = float(np.mean([float(v) for v in losses])) if losses else float("nan")
         log.info("stage %s cycle %d: mean loss %.4f over %d steps",
                  self.stage, cycle, mean_loss, len(losses))
         self._record_trajectory(cycle, mean_loss, len(losses))
-        if self.run_dir:
+        if self.run_dir and not saved_this_epoch:
+            # skipped when the per-epoch path just wrote the identical state
             self._save_stage_ckpt()
         return mean_loss
 
@@ -260,9 +263,13 @@ def run_pipeline(args, data_iter_fn, cfg=None):
             output_bit_range=andi_cfg.qn_feature_bit_range,
             noise_scale_range=andi_cfg.qn_noise_range)
 
-    if "LSQ_AnDi" in stages:
-        trainer.stage = "LSQ_AnDi"
-        if "LSQ" not in stages:  # fresh conversion when starting here
+    def _build_andi_tree(fresh_conversion: bool) -> None:
+        # the AnDi-stage module tree: qn_lsq conversion (when not already
+        # done by an LSQ stage in this process) + enhance adapters. Shared
+        # by the LSQ_AnDi branch and the --adda-resume rebuild so the two
+        # can never structurally diverge (resumed checkpoints must load
+        # structure-identically).
+        if fresh_conversion:
             trainer.convert_to_layers(
                 list(reg_dict.nn_layers), "layers_qn_lsq",
                 noise_scale=andi_cfg.qna_noise_range[0],
@@ -272,6 +279,10 @@ def run_pipeline(args, data_iter_fn, cfg=None):
         if not getattr(args, "no_enhance", False):
             trainer.add_enhance_branch_LoR(ops_factor=args.enhance_ops_factor)
             trainer.add_enhance_layers(ops_factor=args.enhance_ops_factor)
+
+    if "LSQ_AnDi" in stages:
+        trainer.stage = "LSQ_AnDi"
+        _build_andi_tree(fresh_conversion="LSQ" not in stages)
         trainer._calibrated = False
         trainer.progressive_train(
             qn_cycle=args.cycles or andi_cfg.qna_cycle,
@@ -288,21 +299,10 @@ def run_pipeline(args, data_iter_fn, cfg=None):
             # (e.g. to give the input_bit=5 tightening the reference's
             # 250-epoch-scale budget, Model_DiT_9L_train.py:593, without
             # repaying the earlier stages). Rebuild the exact module tree
-            # of a full LSQ->AnDi->ADDA run — same conversion order and
-            # adapter insertion as the stage branches above — so the saved
-            # quantized checkpoint (step sizes, ADC gains, enhance blends)
-            # loads structure-identically.
-            trainer.convert_to_layers(
-                list(reg_dict.nn_layers), "layers_qn_lsq",
-                noise_scale=andi_cfg.qna_noise_range[0],
-                input_bit=andi_cfg.qna_feature_bit_range[0],
-                output_bit=andi_cfg.qna_feature_bit_range[0],
-                weight_bit=andi_cfg.qna_weight_bit_range[0])
-            if not getattr(args, "no_enhance", False):
-                trainer.add_enhance_branch_LoR(
-                    ops_factor=args.enhance_ops_factor)
-                trainer.add_enhance_layers(
-                    ops_factor=args.enhance_ops_factor)
+            # of a full LSQ->AnDi->ADDA run so the saved quantized
+            # checkpoint (step sizes, ADC gains, enhance blends) loads
+            # structure-identically.
+            _build_andi_tree(fresh_conversion=True)
         trainer.convert_to_layers(
             list(reg_dict.custom_layers), "layers_qn_lsq_adda_cim",
             noise_scale=andi_cfg.adda_noise_range[0],
@@ -321,6 +321,17 @@ def run_pipeline(args, data_iter_fn, cfg=None):
                              array_device_name=args.array_device)
         ncyc = args.cycles or andi_cfg.adda_cycle
         start_cycle = 0
+        if adda_resume and ncyc < 2:
+            # progressive_train interpolates range[0]->range[1] over the
+            # cycles; with ncyc=1 the single cycle runs at frac=0 and would
+            # re-apply the FIRST cycle's bits to the restored FINAL-cycle
+            # state — silently rescaling the just-loaded trained step sizes
+            # back to input_bit=8. Any ncyc>=2 puts start_cycle at frac=1.
+            log.warning("--adda-resume with --cycles %d would regress the "
+                        "restored state to cycle-0 quant params; raising to "
+                        "2 so the extension trains at the final-cycle bits",
+                        ncyc)
+            ncyc = 2
         if adda_resume:
             # Jump the static quant state to the FINAL cycle's params
             # BEFORE loading: update_para's bit-change step rescale

@@ -74,22 +74,22 @@ class TestPipelineParity:
     def test_forward_matches_sequential(self, n_stages, n_mb):
         model = _build()
         mesh = _pipe_mesh(n_stages)
-        fwd, stacked = build_pp_forward(model, mesh, n_microbatches=n_mb)
+        fwd, stacked, rest = build_pp_forward(model, mesh, n_microbatches=n_mb)
         x, t = _inputs(b=8)
         ref = model(x, t)
-        out = jax.jit(fwd)(stacked, x, t)
+        out = jax.jit(fwd)(stacked, rest, x, t)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
     def test_forward_matches_with_text_context(self):
         model = _build(text=True)
         mesh = _pipe_mesh(4)
-        fwd, stacked = build_pp_forward(model, mesh, n_microbatches=4)
+        fwd, stacked, rest = build_pp_forward(model, mesh, n_microbatches=4)
         x, t = _inputs(b=8)
         ctx = jax.random.normal(jax.random.PRNGKey(3), (8, 7, 24))
         cond = {"text": ctx}
         ref = model(x, t, cond)
-        out = jax.jit(fwd)(stacked, x, t, cond)
+        out = jax.jit(fwd)(stacked, rest, x, t, cond)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
@@ -98,14 +98,19 @@ class TestPipelineParity:
         pipeline equal the sequential model's grads."""
         model = _build()
         mesh = _pipe_mesh(4)
-        fwd, stacked = build_pp_forward(model, mesh, n_microbatches=2)
+        fwd, stacked, rest = build_pp_forward(model, mesh, n_microbatches=2)
         x, t = _inputs(b=4)
         tgt = jax.random.normal(jax.random.PRNGKey(9), x.shape)
 
-        def pp_loss(st):
-            return jnp.mean((fwd(st, x, t) - tgt) ** 2)
+        def pp_loss(st, rs):
+            return jnp.mean((fwd(st, rs, x, t) - tgt) ** 2)
 
-        g_pp = jax.jit(jax.grad(pp_loss))(stacked)
+        g_pp, g_rest = jax.jit(jax.grad(pp_loss, argnums=(0, 1)))(stacked,
+                                                                  rest)
+        # prologue/epilogue params get gradients too (they are arguments,
+        # not baked-in constants)
+        assert sum(float(jnp.sum(jnp.abs(g)))
+                   for g in jax.tree.leaves(g_rest)) > 0
 
         graphdef, ref_stacked = stack_transformer_layers(model)
 
@@ -130,11 +135,11 @@ class TestPipelineParity:
         model = _build()
         devs = np.array(jax.devices()[:8]).reshape(2, 4)
         mesh = Mesh(devs, ("data", "pipe"))
-        fwd, stacked = build_pp_forward(model, mesh, n_microbatches=2,
-                                        data_axis="data")
+        fwd, stacked, rest = build_pp_forward(model, mesh, n_microbatches=2,
+                                              data_axis="data")
         x, t = _inputs(b=8)
         ref = model(x, t)
-        out = jax.jit(fwd)(stacked, x, t)
+        out = jax.jit(fwd)(stacked, rest, x, t)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
