@@ -30,7 +30,9 @@ TPU-first replacement:
 ``RequestBatcher`` (below) adds the serving discipline: a bounded queue +
 worker thread that coalesces concurrent requests into one engine call
 within a small window — classic continuous-batching-lite, sized for a
-single chip.
+single chip. Pass ``mesh=`` (a 1-axis ``jax.sharding.Mesh``) to serve the
+same program data-parallel across chips: weights replicate once, request
+batches shard on the leading axis, one process drives the whole mesh.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ from stablediffusion_pytorch_tpu.schedulers import (
     ddim_sample, make_compvis_linear_schedule,
 )
 from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
-    resize_mask_to_latent,
+    nearest_resize_np, resize_mask_to_latent,
 )
 
 
@@ -79,7 +81,7 @@ class InferenceEngine:
     def __init__(self, cfg, denoiser, vqvae, tokenizer=None, text_model=None,
                  *, max_batch: int = 8, steps: int = 50,
                  method: str = "linear", eta: float = 0.0,
-                 guidance: float = 2.0, dtype=None):
+                 guidance: float = 2.0, dtype=None, mesh=None):
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.steps = int(steps)
@@ -109,6 +111,26 @@ class InferenceEngine:
 
         self._den_graphdef, self._den_state = nnx.split(denoiser)
         self._vq_graphdef, self._vq_state = nnx.split(vqvae)
+
+        # Data-parallel serving: with a 1-axis device mesh, weights are
+        # replicated once at construction and every request batch is
+        # sharded on its leading axis — the whole program (vmap'd latent
+        # init, DDIM scan, VQVAE decode) is batch-parallel, so jit follows
+        # the input shardings with zero collectives. The reference scales
+        # inference the DDP way (batch_condition_image_generator_multi_GPU
+        # .py wraps the model in DataParallel per process); here one
+        # process drives all chips through ONE compiled program.
+        self.mesh = mesh
+        if mesh is not None:
+            from stablediffusion_pytorch_tpu.parallel.mesh import replicate
+
+            n = int(mesh.devices.size)
+            if self.max_batch % n:
+                raise ValueError(
+                    f"max_batch={self.max_batch} must be divisible by the "
+                    f"mesh's {n} devices (XLA batch sharding)")
+            self._den_state = replicate(mesh, self._den_state)
+            self._vq_state = replicate(mesh, self._vq_state)
 
         # empty-prompt embedding reused as every request's uncond branch
         if "text" in self.condition_types:
@@ -145,7 +167,12 @@ class InferenceEngine:
                 uncond=uncond if has_cond else None,
                 guidance_scale=guidance if has_cond else None)
             imgs = nnx.merge(vq_graphdef, vq_state).decode(x0)
-            return jnp.clip(imgs, -1.0, 1.0)
+            # pack to uint8 ON DEVICE: the device->host fetch through the
+            # relay is 4x smaller than fetching float32 and converting on
+            # host (same round-half-even + clip math)
+            imgs = (jnp.clip(imgs.astype(jnp.float32), -1.0, 1.0)
+                    + 1.0) * 127.5
+            return jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
 
         return program
 
@@ -184,8 +211,14 @@ class InferenceEngine:
                         raise ValueError(
                             f"mask must be (H, W, {shape[-1]}), got {m.shape}")
                     masks.append(m)
-            mask = resize_mask_to_latent(jnp.asarray(np.stack(masks)),
-                                         self._hw)
+            stacked = np.stack(masks)
+            # resize on host when possible: transfers latent-res bytes
+            # through the relay instead of full-res (see nearest_resize_np)
+            host = nearest_resize_np(stacked, self._hw, self._hw)
+            if host is not None:
+                mask = jnp.asarray(host)
+            else:
+                mask = resize_mask_to_latent(jnp.asarray(stacked), self._hw)
             cond["image"] = mask
             uncond["image"] = jnp.zeros_like(mask)
         if "class" in self.condition_types:
@@ -210,11 +243,18 @@ class InferenceEngine:
     def generate(self, requests: Sequence[GenerateRequest]) -> np.ndarray:
         """Run one padded batch; returns uint8 (len(requests), H, W, C)."""
         keys, loop_key, g, cond, uncond = self._assemble(requests)
+        if self.mesh is not None:
+            from stablediffusion_pytorch_tpu.parallel.mesh import (
+                replicate, shard_batch,
+            )
+
+            keys, g, cond, uncond = shard_batch(
+                self.mesh, (keys, g, cond, uncond))
+            loop_key = replicate(self.mesh, loop_key)
         with self._lock:
             imgs = self._program(self._den_state, self._vq_state, keys,
                                  loop_key, g, cond, uncond)
-        imgs = np.asarray(imgs, np.float32)[: len(requests)]
-        return ((imgs + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+        return np.asarray(imgs)[: len(requests)]
 
     def warmup(self) -> float:
         """Compile + run once on zeros; returns elapsed seconds."""
@@ -231,6 +271,8 @@ class InferenceEngine:
             "default_guidance": self.default_guidance,
             "condition_types": self.condition_types,
             "latent": [self._hw, self._hw, self._z],
+            "mesh_devices": (int(self.mesh.devices.size)
+                             if self.mesh is not None else 1),
             "provenance": build_stamp(tokenizer=self.tokenizer,
                                       text_model=self.text_model),
         }

@@ -1,0 +1,150 @@
+"""Serving throughput benchmark: quantify the batched-engine design claim.
+
+serving/engine.py replaces the reference's one-image-at-a-time GUI samplers
+(/root/reference/GUI_image_generator.py drives sample_ddpm once per click)
+with a fixed-shape batched program, on the claim that a batch-1 denoise
+leaves the MXU mostly idle. This tool measures that claim on the real chip:
+end-to-end images/sec of the compiled sample-CFG-decode program at a sweep
+of batch sizes, at the production 256^2 text+mask configuration.
+
+Each batch size is its own XLA program (the engine pins max_batch at
+construction — "configuration is a compile, a request is a dispatch"), so
+the sweep pays one compile per point; weights are random-init, which is
+irrelevant to throughput (identical op schedule).
+
+Also reports the padding cost: a 1-request call on the largest engine runs
+the full padded batch, so its latency vs the dedicated batch-1 engine is
+exactly what the RequestBatcher's coalescing window buys.
+
+Usage::
+
+  python -m stablediffusion_pytorch_tpu.tools.bench_serving \
+      --config synthface256_text_image_cond --batches 1,4,8 --steps 50
+
+Prints one JSON line per batch size plus a summary line; writes a
+provenance-stamped report next to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusion_pytorch_tpu.serving import GenerateRequest, InferenceEngine
+from stablediffusion_pytorch_tpu.tools.common import (
+    build_denoiser, build_vqvae, load_config,
+)
+
+PROMPTS = [
+    "This person has long black hair and brown eyes.",
+    "This person has long blond hair and blue eyes.",
+    "This person has short brown hair.",
+    "This person is wearing glasses.",
+]
+
+
+def _requests(n: int, mask_shape, base_seed: int):
+    rng = np.random.default_rng(base_seed)
+    reqs = []
+    for i in range(n):
+        mask = None
+        if mask_shape is not None:
+            mask = rng.random(mask_shape, dtype=np.float32)
+        reqs.append(GenerateRequest(prompt=PROMPTS[i % len(PROMPTS)],
+                                    seed=base_seed + i, mask=mask))
+    return reqs
+
+
+def bench_engine(engine: InferenceEngine, reps: int, mask_shape,
+                 n_requests=None):
+    """Median wall time of `reps` generate() calls (after warmup)."""
+    n = engine.max_batch if n_requests is None else n_requests
+    times = []
+    for rep in range(reps):
+        reqs = _requests(n, mask_shape, base_seed=1000 * rep + n)
+        t0 = time.perf_counter()
+        imgs = engine.generate(reqs)
+        times.append(time.perf_counter() - t0)
+        assert imgs.shape[0] == n
+    return statistics.median(times)
+
+
+def main():
+    p = argparse.ArgumentParser(description="serving throughput benchmark")
+    p.add_argument("--config", default="synthface256_text_image_cond")
+    p.add_argument("--batches", default="1,4,8")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    model = build_denoiser(cfg, dtype=dtype)
+    vqvae = build_vqvae(cfg, dtype=dtype)
+
+    tokenizer = text_model = None
+    cc = dict(cfg.ldm_params).get("condition_config") or {}
+    mask_shape = None
+    if "text" in cc.get("condition_types", []):
+        from stablediffusion_pytorch_tpu.data.text import (
+            get_tokenizer_and_model,
+        )
+
+        tokenizer, text_model = get_tokenizer_and_model(
+            cc["text_condition_config"].get("text_embed_model", "clip"))
+    if "image" in cc.get("condition_types", []):
+        icc = cc["image_condition_config"]
+        mask_shape = (icc["image_condition_h"], icc["image_condition_w"],
+                      icc["image_condition_input_channels"])
+
+    rows = []
+    biggest = None
+    for b in [int(x) for x in args.batches.split(",")]:
+        engine = InferenceEngine(cfg, model, vqvae, tokenizer, text_model,
+                                 max_batch=b, steps=args.steps, dtype=dtype)
+        compile_s = engine.warmup()
+        t = bench_engine(engine, args.reps, mask_shape)
+        row = {"max_batch": b, "steps": args.steps,
+               "batch_latency_s": round(t, 4),
+               "images_per_sec": round(b / t, 4),
+               "sec_per_image": round(t / b, 4),
+               "compile_warmup_s": round(compile_s, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        biggest = engine if biggest is None or b >= biggest.max_batch \
+            else biggest
+
+    # padding cost: 1 request through the largest engine still runs the
+    # full padded batch — this latency gap is what request coalescing buys
+    pad = None
+    if biggest is not None and biggest.max_batch > 1:
+        t1 = bench_engine(biggest, args.reps, mask_shape, n_requests=1)
+        pad = {"one_request_on_max_batch_engine_s": round(t1, 4),
+               "vs_dedicated_batch1_s": rows[0]["batch_latency_s"]
+               if rows[0]["max_batch"] == 1 else None}
+        print(json.dumps({"padding_cost": pad}), flush=True)
+
+    from stablediffusion_pytorch_tpu.utils.provenance import build_stamp
+
+    report = {"metric": "serving_images_per_sec",
+              "config": args.config, "bf16": bool(args.bf16),
+              "value": max(r["images_per_sec"] for r in rows),
+              "rows": rows, "padding_cost": pad,
+              "provenance": build_stamp(tokenizer=tokenizer,
+                                        text_model=text_model)}
+    print(json.dumps({k: report[k] for k in
+                      ("metric", "config", "value")}), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

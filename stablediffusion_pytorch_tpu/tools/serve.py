@@ -54,10 +54,15 @@ def build_engine(args) -> InferenceEngine:
         tokenizer, text_model = get_tokenizer_and_model(
             cc["text_condition_config"].get("text_embed_model", "clip"),
             weights_path=args.text_weights)
+    mesh = None
+    if args.mesh_devices:
+        from stablediffusion_pytorch_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     return InferenceEngine(
         cfg, model, vqvae, tokenizer, text_model,
         max_batch=args.max_batch, steps=args.steps, method=args.method,
-        guidance=args.cf_guidance_scale, dtype=dtype)
+        guidance=args.cf_guidance_scale, dtype=dtype, mesh=mesh)
 
 
 def main():
@@ -69,6 +74,9 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--mesh-devices", type=int, default=0,
+                        help="serve data-parallel over the first N devices "
+                             "(0 = single device); max-batch must divide")
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--method", default="linear")
     parser.add_argument("--cf-guidance-scale", type=float, default=2.0)

@@ -57,6 +57,29 @@ def nearest_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return jax.image.resize(x, (b, out_h, out_w, c), method="nearest")
 
 
+def nearest_resize_np(x, out_h: int, out_w: int):
+    """Host-side (numpy) twin of ``nearest_resize``'s strided-slice fast
+    path, for integer downsample ratios only (returns None otherwise so the
+    caller falls back to the device path).
+
+    Running the slice BEFORE the host->device transfer matters on a
+    relay-attached chip: serving a batch-8 request with full-res 256^2
+    18-ch masks ships ~37 MB per call through the tunnel, vs ~0.6 MB after
+    the slice — the transfer, not compute, dominated the serving benchmark
+    (PERF.md round 3, tools/bench_serving.py). Bit-identical to the device
+    slice: same TF half-pixel index ``i*r + r//2``.
+    """
+    import numpy as np
+
+    b, h, w, c = x.shape
+    if h == out_h and w == out_w:
+        return np.asarray(x)
+    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
+        rh, rw = h // out_h, w // out_w
+        return np.asarray(x)[:, rh // 2::rh, rw // 2::rw, :]
+    return None
+
+
 def resize_mask_to_latent(mask: jax.Array, latent_hw: int) -> jax.Array:
     """Pre-resize an NHWC mask condition to the latent resolution (nearest).
 

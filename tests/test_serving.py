@@ -183,3 +183,62 @@ def test_http_health_stats_and_errors(server):
     status, _, data = _request(server, "POST", "/generate",
                                {"seed": "not-an-int"})
     assert status == 400 and "bad request" in json.loads(data)["error"]
+
+
+def test_bench_serving_helpers(engine):
+    """tools/bench_serving measures the engine it claims to (CPU, tiny)."""
+    from stablediffusion_pytorch_tpu.tools.bench_serving import (
+        _requests, bench_engine,
+    )
+
+    mask_shape = (32, 32, 18)
+    reqs = _requests(3, mask_shape, base_seed=42)
+    assert [r.seed for r in reqs] == [42, 43, 44]
+    assert len({r.prompt for r in reqs}) == 3
+    assert all(r.mask.shape == mask_shape for r in reqs)
+    # no image-condition config -> no masks
+    assert all(r.mask is None for r in _requests(2, None, base_seed=0))
+
+    t_full = bench_engine(engine, reps=2, mask_shape=mask_shape)
+    assert t_full > 0
+    # padded single-request call goes through the same program
+    t_one = bench_engine(engine, reps=1, mask_shape=mask_shape,
+                         n_requests=1)
+    assert t_one > 0
+
+
+def test_engine_mesh_data_parallel_matches_single(engine):
+    """mesh= serves the same program data-parallel: weights replicate,
+    request batches shard on the leading axis, outputs match the
+    single-device engine (same seeds => same images up to uint8 rounding
+    of cross-device reduction-free math — exact here)."""
+    import numpy as np
+
+    from stablediffusion_pytorch_tpu.parallel.mesh import make_mesh
+    from stablediffusion_pytorch_tpu.serving import (
+        GenerateRequest, InferenceEngine,
+    )
+    from stablediffusion_pytorch_tpu.tools.common import (
+        build_denoiser, build_vqvae,
+    )
+
+    mesh = make_mesh(4)
+    meshed = InferenceEngine(
+        engine.cfg, build_denoiser(engine.cfg), build_vqvae(engine.cfg),
+        engine.tokenizer, engine.text_model,
+        max_batch=4, steps=3, guidance=2.0, mesh=mesh)
+    assert meshed.info()["mesh_devices"] == 4
+
+    rng = np.random.default_rng(5)
+    reqs = [GenerateRequest(prompt=p, seed=s,
+                            mask=rng.random((32, 32, 18), dtype=np.float32))
+            for s, p in enumerate(["a face", "blond hair", "glasses"])]
+    ref = engine.generate(reqs)
+    got = meshed.generate(reqs)
+    assert got.shape == ref.shape and got.dtype == np.uint8
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceEngine(engine.cfg, build_denoiser(engine.cfg),
+                        build_vqvae(engine.cfg), engine.tokenizer,
+                        engine.text_model, max_batch=3, steps=3, mesh=mesh)
