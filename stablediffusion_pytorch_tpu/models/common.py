@@ -76,12 +76,12 @@ class ResnetBlock(nnx.Module):
                  rngs: nnx.Rngs, dtype=None):
         self.t_emb_dim = t_emb_dim
         kw = dict(dtype=dtype, rngs=rngs)
-        self.norm1 = nnx.GroupNorm(in_channels, num_groups=norm_channels, **kw)
+        self.norm1 = nnx.GroupNorm(in_channels, num_groups=norm_channels, epsilon=1e-5, **kw)
         self.conv1 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3),
                               padding="SAME", **kw)
         if t_emb_dim is not None:
             self.t_emb_proj = nnx.Linear(t_emb_dim, out_channels, **kw)
-        self.norm2 = nnx.GroupNorm(out_channels, num_groups=norm_channels, **kw)
+        self.norm2 = nnx.GroupNorm(out_channels, num_groups=norm_channels, epsilon=1e-5, **kw)
         self.conv2 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3),
                               padding="SAME", **kw)
         self.residual_conv = nnx.Conv(in_channels, out_channels,
@@ -105,7 +105,7 @@ class SpatialSelfAttention(nnx.Module):
 
     def __init__(self, channels: int, num_heads: int, norm_channels: int, *,
                  rngs: nnx.Rngs, dtype=None):
-        self.norm = nnx.GroupNorm(channels, num_groups=norm_channels,
+        self.norm = nnx.GroupNorm(channels, num_groups=norm_channels, epsilon=1e-5,
                                   dtype=dtype, rngs=rngs)
         self.attn = MultiheadAttention(channels, num_heads, rngs=rngs, dtype=dtype)
 
@@ -127,7 +127,7 @@ class SpatialCrossAttention(nnx.Module):
     def __init__(self, channels: int, num_heads: int, norm_channels: int,
                  context_dim: int, *, rngs: nnx.Rngs, dtype=None):
         self.context_dim = context_dim
-        self.norm = nnx.GroupNorm(channels, num_groups=norm_channels,
+        self.norm = nnx.GroupNorm(channels, num_groups=norm_channels, epsilon=1e-5,
                                   dtype=dtype, rngs=rngs)
         self.context_proj = nnx.Linear(context_dim, channels, dtype=dtype, rngs=rngs)
         self.attn = MultiheadAttention(channels, num_heads, rngs=rngs, dtype=dtype)

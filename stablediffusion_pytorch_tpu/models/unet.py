@@ -127,7 +127,7 @@ class Unet(nnx.Module):
         ])
 
         self.norm_out = nnx.GroupNorm(conv_out_channels,
-                                      num_groups=norm_channels, **kw)
+                                      num_groups=norm_channels, epsilon=1e-5, **kw)
         self.conv_out = nnx.Conv(conv_out_channels, im_channels,
                                  kernel_size=(3, 3), padding="SAME", **kw)
 

@@ -48,7 +48,7 @@ class VAE(nnx.Module):
             for i in range(len(mid_channels) - 1)
         ])
         self.encoder_norm_out = nnx.GroupNorm(down_channels[-1],
-                                              num_groups=norm_channels, **kw)
+                                              num_groups=norm_channels, epsilon=1e-5, **kw)
         # 2x z-channels: mean and logvar (reference: vae.py:98)
         self.encoder_conv_out = nnx.Conv(down_channels[-1], 2 * self.z_channels,
                                          kernel_size=(3, 3), padding="SAME", **kw)
@@ -74,7 +74,7 @@ class VAE(nnx.Module):
             for i in reversed(range(1, len(down_channels)))
         ])
         self.decoder_norm_out = nnx.GroupNorm(down_channels[0],
-                                              num_groups=norm_channels, **kw)
+                                              num_groups=norm_channels, epsilon=1e-5, **kw)
         self.decoder_conv_out = nnx.Conv(down_channels[0], im_channels,
                                          kernel_size=(3, 3), padding="SAME", **kw)
 

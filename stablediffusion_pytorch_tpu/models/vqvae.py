@@ -63,7 +63,7 @@ class VQVAE(nnx.Module):
             for i in range(len(mid_channels) - 1)
         ])
         self.encoder_norm_out = nnx.GroupNorm(down_channels[-1],
-                                              num_groups=norm_channels, **kw)
+                                              num_groups=norm_channels, epsilon=1e-5, **kw)
         self.encoder_conv_out = nnx.Conv(down_channels[-1], self.z_channels,
                                          kernel_size=(3, 3), padding="SAME", **kw)
         self.pre_quant_conv = nnx.Conv(self.z_channels, self.z_channels,
@@ -89,7 +89,7 @@ class VQVAE(nnx.Module):
             for i in reversed(range(1, len(down_channels)))
         ])
         self.decoder_norm_out = nnx.GroupNorm(down_channels[0],
-                                              num_groups=norm_channels, **kw)
+                                              num_groups=norm_channels, epsilon=1e-5, **kw)
         self.decoder_conv_out = nnx.Conv(down_channels[0], im_channels,
                                          kernel_size=(3, 3), padding="SAME", **kw)
 
