@@ -51,6 +51,11 @@ def make_mesh(n_devices: Optional[int] = None,
     and leading axes get size 1."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available — a silently smaller "
+                f"mesh would change the parallelism the caller asked for")
         devices = devices[:n_devices]
     if len(axis_names) == 1:
         dev_array = np.asarray(devices)

@@ -124,6 +124,11 @@ class InferenceEngine:
         if mesh is not None:
             from stablediffusion_pytorch_tpu.parallel.mesh import replicate
 
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    f"serving engine shards requests on a single data axis; "
+                    f"got a {len(mesh.axis_names)}-axis mesh "
+                    f"{dict(mesh.shape)} — build it with one axis")
             n = int(mesh.devices.size)
             if self.max_batch % n:
                 raise ValueError(

@@ -127,8 +127,9 @@ def main():
     if biggest is not None and biggest.max_batch > 1:
         t1 = bench_engine(biggest, args.reps, mask_shape, n_requests=1)
         pad = {"one_request_on_max_batch_engine_s": round(t1, 4),
-               "vs_dedicated_batch1_s": rows[0]["batch_latency_s"]
-               if rows[0]["max_batch"] == 1 else None}
+               "vs_dedicated_batch1_s": next(
+                   (r["batch_latency_s"] for r in rows
+                    if r["max_batch"] == 1), None)}
         print(json.dumps({"padding_cost": pad}), flush=True)
 
     from stablediffusion_pytorch_tpu.utils.provenance import build_stamp

@@ -69,14 +69,15 @@ def nearest_resize_np(x, out_h: int, out_w: int):
     (PERF.md round 3, tools/bench_serving.py). Bit-identical to the device
     slice: same TF half-pixel index ``i*r + r//2``.
     """
-    import numpy as np
-
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return np.asarray(x)
     if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
         rh, rw = h // out_h, w // out_w
-        return np.asarray(x)[:, rh // 2::rh, rw // 2::rw, :]
+        # contiguous copy: the strided view would otherwise force an
+        # implicit copy at jnp.asarray time, with less predictable timing
+        return np.ascontiguousarray(
+            np.asarray(x)[:, rh // 2::rh, rw // 2::rw, :])
     return None
 
 
