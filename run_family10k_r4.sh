@@ -56,9 +56,18 @@ if [ ! -f $R/latents/.done ]; then
     --output-root $R/latents > $R/latents.log 2>&1 || exit 1
   touch $R/latents/.done
 fi
+# the shared latent set was generated under one task_name; each arm's
+# trainer resolves <latent-root>/<its task_name>/vqvae_latents, so expose
+# the one set under every arm's name (symlinks recreate after any reboot)
+LSRC=$(ls -d $R/latents/*/vqvae_latents | head -1)
+for TN in synthface256_dit9_10k synthface256_dit12_10k synthface256_10k; do
+  mkdir -p $R/latents/$TN
+  [ -e $R/latents/$TN/vqvae_latents ] || \
+    ln -s "$(realpath "$LSRC")" $R/latents/$TN/vqvae_latents
+done
 date +%s > $R/t_latents_end
 
-TAIL=2200   # per arm: 16-sample grid + 256-img FID set (50 DDIM steps) + FID
+TAIL=1200   # per arm: 16-sample grid + 256-img FID set (50 DDIM steps) + FID
 FID_N=256
 
 run_arm() {  # $1=config $2=train_budget

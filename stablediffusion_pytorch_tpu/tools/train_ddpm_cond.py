@@ -113,9 +113,59 @@ def train(args):
         # model_paths_ldm_ckpt_resume, multi_gpu.py:249-254)
         load_model(args.resume, model)
         log.info("resumed denoiser from %s", args.resume)
-    trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
-                         condition_config=condition_config,
-                         empty_text_embed=empty_text_embed)
+
+    tp = max(1, getattr(args, "tp", 1))
+    pp = max(1, getattr(args, "pp", 1))
+    if tp > 1 and pp > 1:
+        raise ValueError("--tp and --pp are separate meshes; pick one "
+                         "(hybrid TP x PP is not wired in this CLI)")
+    n_dev = len(jax.devices())
+    batch = tc["ldm_batch_size"]
+    if pp > 1:
+        # GPipe pipeline (+ data parallel over the leftover devices):
+        # ('data', 'pipe') mesh, transformer stack sharded over 'pipe',
+        # batch over 'data'. See training/pp.py and parallel/pp.py.
+        from stablediffusion_pytorch_tpu.parallel.mesh import make_mesh
+        from stablediffusion_pytorch_tpu.training.pp import PPLdmTrainer
+
+        if n_dev % pp:
+            raise ValueError(f"--pp {pp} does not divide {n_dev} devices")
+        dp = n_dev // pp
+        while dp > 1 and batch % dp:
+            dp //= 2  # fewer data shards rather than an unsplittable batch
+        mesh = make_mesh(dp * pp, ("data", "pipe"), axis_sizes=(dp, pp))
+        trainer = PPLdmTrainer(
+            model, sched, mesh, n_microbatches=args.microbatches,
+            lr=tc["ldm_lr"], condition_config=condition_config,
+            empty_text_embed=empty_text_embed,
+            data_axis="data" if dp > 1 else None)
+        log.info("pipeline parallel: %d stages x %d data shards, "
+                 "%d microbatches", pp, dp, args.microbatches)
+    elif tp > 1:
+        # Megatron tensor parallel (+ data parallel): shard the attention/
+        # MLP kernels over 'model' BEFORE the trainer copies params into
+        # optimizer moments / EMA so every training buffer inherits the
+        # sharding. See parallel/tp.py.
+        from stablediffusion_pytorch_tpu.parallel.mesh import make_mesh
+        from stablediffusion_pytorch_tpu.parallel.tp import apply_tp_sharding
+
+        if n_dev % tp:
+            raise ValueError(f"--tp {tp} does not divide {n_dev} devices")
+        dp = n_dev // tp
+        while dp > 1 and batch % dp:
+            dp //= 2
+        mesh = make_mesh(dp * tp, ("data", "model"), axis_sizes=(dp, tp))
+        n_tp = apply_tp_sharding(model, mesh)
+        trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
+                             condition_config=condition_config,
+                             empty_text_embed=empty_text_embed)
+        log.info("tensor parallel: %d-way over %d params x %d data shards",
+                 tp, n_tp, dp)
+    else:
+        mesh = make_mesh_for_batch(batch)
+        trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
+                             condition_config=condition_config,
+                             empty_text_embed=empty_text_embed)
 
     latent_dir = os.path.join(args.latent_root or args.output_root,
                               tc["task_name"], tc["vqvae_latent_dir_name"])
@@ -136,7 +186,6 @@ def train(args):
     else:
         vqvae = None
 
-    mesh = make_mesh_for_batch(tc["ldm_batch_size"])
     dl = DataLoader(ds, batch_size=tc["ldm_batch_size"],
                     seed=tc.get("seed", 1111))
 
@@ -191,6 +240,8 @@ def train(args):
         lr = trainer.end_epoch(mean_loss)
         log.info("epoch %d | mean loss %.4f | lr %.2e", epoch, mean_loss, lr)
         if (epoch + 1) % save_every == 0 or epoch == num_epochs - 1:
+            if hasattr(trainer, "sync_into_model"):
+                trainer.sync_into_model()  # PP: stack/rest -> plain model
             save_train_checkpoint(arts["ckpt_dir"],
                                   tc.get("ldm_ckpt_name", "ddpm_ckpt"),
                                   epoch, model, trainer.ema_params)
@@ -215,6 +266,14 @@ def main():
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="optimizer steps fused into one jitted scan "
                              "(amortizes dispatch latency; see PERF.md)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel ways (Megatron shardings over "
+                             "a 'model' mesh axis; DiT only)")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel stages (GPipe over a 'pipe' "
+                             "mesh axis; DiT only)")
+    parser.add_argument("--microbatches", type=int, default=4,
+                        help="GPipe microbatches per step (with --pp)")
     train(parser.parse_args())
 
 

@@ -41,6 +41,42 @@ from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
 )
 
 
+def build_drop_probs(condition_config: Optional[dict]) -> Dict[str, float]:
+    """Per-modality CFG dropout probabilities from a condition_config
+    (reference: tools/train_ddpm_cond.py:150-190). Shared by the
+    single-device and pipeline-parallel trainers."""
+    cc = condition_config or {}
+    probs = {}
+    types = cc.get("condition_types", [])
+    for name, key in (("text", "text_condition_config"),
+                      ("image", "image_condition_config"),
+                      ("class", "class_condition_config")):
+        if name in types:
+            probs[name] = cc[key].get("cond_drop_prob", 0.0)
+    return probs
+
+
+def apply_cond_dropout(cond: Dict[str, jax.Array], key,
+                       drop_probs: Dict[str, float],
+                       empty_text_embed) -> Dict[str, jax.Array]:
+    """CFG condition dropout on a prepared cond dict (pure function of the
+    PRNG key — usable inside jit/scan)."""
+    if not cond:
+        return cond
+    out = dict(cond)
+    k_text, k_img, k_cls = jax.random.split(key, 3)
+    if "text" in out and drop_probs.get("text", 0) > 0:
+        out["text"] = drop_text_condition(
+            out["text"], k_text, empty_text_embed, drop_probs["text"])
+    if "image" in out and drop_probs.get("image", 0) > 0:
+        out["image"] = drop_image_condition(
+            out["image"], k_img, drop_probs["image"])
+    if "class" in out and drop_probs.get("class", 0) > 0:
+        out["class"] = drop_class_condition(
+            out["class"], k_cls, drop_probs["class"])
+    return out
+
+
 @dataclasses.dataclass
 class PlateauController:
     """Host-side ReduceLROnPlateau matching the reference's epoch-level use
@@ -98,37 +134,13 @@ class LdmTrainer:
         # step donates the ema tree)
         self.ema_params = jax.tree.map(jnp.copy, nnx.state(model, nnx.Param))
         self.plateau = PlateauController(lr=lr)
-
-        self._drop_probs = {}
-        cc = self.condition_config
-        if "text" in cc.get("condition_types", []):
-            self._drop_probs["text"] = cc["text_condition_config"].get(
-                "cond_drop_prob", 0.0)
-        if "image" in cc.get("condition_types", []):
-            self._drop_probs["image"] = cc["image_condition_config"].get(
-                "cond_drop_prob", 0.0)
-        if "class" in cc.get("condition_types", []):
-            self._drop_probs["class"] = cc["class_condition_config"].get(
-                "cond_drop_prob", 0.0)
+        self._drop_probs = build_drop_probs(condition_config)
 
     # -----------------------------------------------------------------
     def _apply_cond_dropout(self, cond: Dict[str, jax.Array], key) -> Dict[str, jax.Array]:
         """CFG dropout (reference: tools/train_ddpm_cond.py:150-190)."""
-        if not cond:
-            return cond
-        out = dict(cond)
-        k_text, k_img, k_cls = jax.random.split(key, 3)
-        if "text" in out and self._drop_probs.get("text", 0) > 0:
-            out["text"] = drop_text_condition(
-                out["text"], k_text, self.empty_text_embed,
-                self._drop_probs["text"])
-        if "image" in out and self._drop_probs.get("image", 0) > 0:
-            out["image"] = drop_image_condition(
-                out["image"], k_img, self._drop_probs["image"])
-        if "class" in out and self._drop_probs.get("class", 0) > 0:
-            out["class"] = drop_class_condition(
-                out["class"], k_cls, self._drop_probs["class"])
-        return out
+        return apply_cond_dropout(cond, key, self._drop_probs,
+                                  self.empty_text_embed)
 
     # -----------------------------------------------------------------
     def _ema_decay_at(self, step):
