@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import errors as flax_errors
 from flax import nnx
 
 from stablediffusion_pytorch_tpu.ops.quant import (
@@ -103,13 +104,24 @@ class QuantState(nnx.Module):
     def _noise_key(self, x: jax.Array) -> jax.Array:
         """Fresh key per forward. Uses the layer's stateful RNG stream when
         the module is threaded through the transform (nnx.jit/nnx.grad —
-        training); inside a closure-captured jitted scan (the samplers) the
-        count can't mutate, so fall back to a stateless key derived from the
-        input data — each denoise step sees different activations, hence
-        fresh noise, and sampling stays reproducible per (seed, input)."""
+        training: true i.i.d. resampling per call, matching the reference's
+        quant_noise_utils.add_noise:92-98); inside a closure-captured jitted
+        scan (the samplers) flax forbids mutating the count
+        (TraceContextError), so fall back to a stateless key derived from
+        the input data.
+
+        Distributional caveat (VERDICT r3): the fallback makes sampler-time
+        weight noise a pure function of the activations — the same input
+        reproduces the same "noise", and the key is data-correlated, where
+        the reference draws an independent sample per call. Across denoise
+        steps the activations change, so successive steps still see
+        different draws; within one step the draw is frozen. This is the
+        documented inference-time semantics (deterministic per (seed,
+        input) — which also makes sampled evidence reproducible); training
+        always takes the stateful branch."""
         try:
             return self.noise_rngs.noise()
-        except Exception:
+        except flax_errors.TraceContextError:
             h = jnp.sum(jax.lax.stop_gradient(x).astype(jnp.float32))
             salt = jnp.abs(jnp.nan_to_num(h * 1e4)).astype(jnp.int32)
             return jax.random.fold_in(jax.random.PRNGKey(self.seed), salt)
