@@ -115,9 +115,19 @@ def train(args):
                 all_losses.append(m["g_loss"])
                 epoch_losses.append(m["g_loss"])
                 log.info("epoch %d step %d | g %.4f recon %.4f lpips %.4f "
-                         "codebook %.4f d %.4f", epoch, step, m["g_loss"],
-                         m["recon_loss"], m["perceptual_loss"],
-                         m["codebook_loss"], m["d_loss"])
+                         "codebook %.4f d %.4f std %.3f", epoch, step,
+                         m["g_loss"], m["recon_loss"], m["perceptual_loss"],
+                         m["codebook_loss"], m["d_loss"], m["out_std"])
+                # decode-std mean-collapse guard (VERDICT r3 #5): the v1
+                # 256^2 GAN run collapsed to out_std~0.08 while recon loss
+                # still looked plausible; healthy [-1,1] faces decode at
+                # std ~0.4-0.6
+                if step > trainer.disc_start and m["out_std"] < 0.15:
+                    log.warning(
+                        "decoder output std %.3f < 0.15 with the GAN "
+                        "active (step %d) — mean-collapse signature; "
+                        "lower disc_weight / raise disc_start or add a "
+                        "perceptual anchor", m["out_std"], step)
             if step % image_save_steps == 0 or step == 1:
                 out = _recon(trainer.model, jnp.asarray(im[:8]))
                 im_f = im[:8].astype(np.float32) / 127.5 - 1.0

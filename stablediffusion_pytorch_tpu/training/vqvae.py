@@ -68,7 +68,8 @@ class VqvaeTrainer:
     # device->host fetch instead of seven: each fetch is a full relay
     # round-trip, ~30 ms measured — see PERF.md round-3 input-path notes)
     METRIC_KEYS = ("g_loss", "d_loss", "recon_loss", "perceptual_loss",
-                   "codebook_loss", "commitment_loss", "gen_adv_loss")
+                   "codebook_loss", "commitment_loss", "gen_adv_loss",
+                   "out_std")
 
     @partial(nnx.jit, static_argnums=0)
     def _step(self, model, disc, lpips, opt_g, opt_d, im, step_count, key):
@@ -101,7 +102,12 @@ class VqvaeTrainer:
             aux = {"recon_loss": recon, "perceptual_loss": p_loss,
                    "codebook_loss": qlosses["codebook_loss"],
                    "commitment_loss": qlosses["commitment_loss"],
-                   "gen_adv_loss": adv, "out": out}
+                   "gen_adv_loss": adv, "out": out,
+                   # mean-collapse guard: a healthy decoder tracks the data
+                   # std (~0.5 for [-1,1] images); the round-3 v1 GAN
+                   # collapse showed out_std ~0.08 while recon loss still
+                   # looked plausible (RESULTS.md:166-175)
+                   "out_std": jnp.std(out.astype(jnp.float32))}
             return g, aux
 
         (g_loss, aux), g_grads = nnx.value_and_grad(

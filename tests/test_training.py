@@ -144,6 +144,28 @@ class TestVqvaeTrainer:
             assert np.isfinite(float(m2[k])), k
         assert float(m2["d_loss"]) > 0  # disc active from step > 0
 
+    def test_out_std_collapse_guard_metric(self):
+        """out_std (the decode-std mean-collapse guard, VERDICT r3 #5) is
+        reported, packed, and actually measures the decoder output: a
+        healthy random-init decoder has std >> the 0.08 seen in the
+        collapsed round-3 v1 GAN run, and the metric equals the std of the
+        model's own reconstruction."""
+        tr = self._make(disc_start=0)
+        im = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        m = tr.train_step(im, jax.random.PRNGKey(1))
+        assert "out_std" in tr.METRIC_KEYS
+        packed = dict(zip(tr.METRIC_KEYS, np.asarray(m["packed"]).tolist()))
+        assert packed["out_std"] == pytest.approx(float(m["out_std"]))
+        out, _, _ = tr.model(im)
+        # the step updates params before we can re-run the decoder, so
+        # compare loosely — this pins that the metric tracks the decoder
+        # output's scale, not some other tensor
+        assert float(m["out_std"]) == pytest.approx(
+            float(jnp.std(out.astype(jnp.float32))), rel=0.5)
+        assert 0.05 < float(m["out_std"]) < 5.0
+        # a constant (mean-collapsed) output would trip the 0.15 CLI guard
+        assert float(jnp.std(jnp.zeros_like(out))) < 0.15
+
     @pytest.mark.slow
     def test_disc_gated_before_start(self):
         tr = self._make(disc_start=1000)
