@@ -15,6 +15,17 @@ mkdir -p $R
 [ -f $R/t_done ] && { echo STAGE1_GAN_ALREADY_DONE; exit 0; }
 date +%s > $R/t_start
 
+# One UNCONTENDED serving sweep over batches 1,4,8 first (ADVICE r3 #2:
+# round-3's table stitched two runs measured under different host load;
+# this runs in the quiet window right after the family pass releases the
+# chip, giving the single-file sweep PERF.md should cite).
+if [ ! -f runs_evidence_r4/serving_sweep_r4.json ]; then
+  timeout 1500 python -m stablediffusion_pytorch_tpu.tools.bench_serving \
+    --config synthface256_text_image_cond --batches 1,4,8 --steps 50 \
+    --reps 3 --bf16 --out runs_evidence_r4/serving_sweep_r4.json \
+    > runs_evidence_r4/serving_sweep_r4.log 2>&1
+fi
+
 RESUME=""
 LAST=$(ls -d $R/train/*/synthface256_gan/checkpoints/epoch_*_vqvae_autoencoder_ckpt 2>/dev/null | sort | tail -1)
 if [ -n "$LAST" ]; then
