@@ -7,6 +7,7 @@ from stablediffusion_pytorch_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
     shard_batch,
+    shard_stacked_batch,
     replicate,
 )
 

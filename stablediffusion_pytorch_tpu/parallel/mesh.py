@@ -99,3 +99,18 @@ def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated (params, opt state, schedules)."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_stacked_batch(mesh: Mesh, tree):
+    """Device-put a pytree of stacked (S, B, ...) arrays — S fused train
+    steps of B samples (LdmTrainer.train_multi_step layout) — with the
+    BATCH (second) axis sharded on 'data' and the step axis replicated.
+    One transfer per flush instead of per-batch device_puts + on-device
+    stacks: each host->device round trip costs ~30 ms on the relay-attached
+    chip (PERF.md), so the S-batch feed path collapses to a single put."""
+    def put(x):
+        nd = np.ndim(x)
+        spec = P(None, "data", *([None] * (nd - 2))) if nd >= 2 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)

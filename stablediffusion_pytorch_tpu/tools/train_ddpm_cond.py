@@ -27,7 +27,9 @@ from stablediffusion_pytorch_tpu.data import DataLoader
 from stablediffusion_pytorch_tpu.data.text import (
     get_text_representation, get_tokenizer_and_model,
 )
-from stablediffusion_pytorch_tpu.parallel import make_mesh_for_batch, shard_batch
+from stablediffusion_pytorch_tpu.parallel import (
+    make_mesh_for_batch, shard_stacked_batch,
+)
 from stablediffusion_pytorch_tpu.schedulers import make_compvis_linear_schedule
 from stablediffusion_pytorch_tpu.tools.common import (
     build_dataset, build_denoiser, build_vqvae, latent_hw, load_config,
@@ -194,40 +196,70 @@ def train(args):
     all_losses, boundaries = [], []
 
     steps_per_call = max(1, getattr(args, "steps_per_call", 1))
-    pending = []  # (latents, cond) buffered for one multi-step scan
+    pending = []  # HOST-side (latents_np, cond_np) buffered for one flush
+
+    # The feed path stays on the host until one fused transfer per flush:
+    # every device interaction on the relay-attached chip costs a ~30 ms
+    # round trip (PERF.md), and the original per-batch flow paid it 4-6
+    # times per step (text-encoder dispatch, mask put, shard put, device
+    # stacks) — measured at 300+ ms/step against a 2.3 ms on-chip step.
+    # Here each flush does: host np.stack, ONE text-encoder dispatch for
+    # all S batches, ONE sharded device_put, ONE train dispatch.
+    hw = latent_hw(cfg)
+
+    def build_cond_stack(conds):
+        """S per-batch host cond dicts -> one (S, B, ...) cond stack."""
+        from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+            nearest_resize_np,
+        )
+
+        S = len(conds)
+        stack = {}
+        if "text" in condition_types:
+            flat = [t for c in conds for t in c["text"]]
+            emb = get_text_representation(flat, tokenizer, text_model)
+            stack["text"] = emb.reshape(S, -1, *emb.shape[1:])
+        if "image" in condition_types:
+            masks = np.stack([np.asarray(c["image"]) for c in conds])
+            if masks.shape[2] != hw or masks.shape[3] != hw:
+                s, b = masks.shape[:2]
+                flat = nearest_resize_np(
+                    masks.reshape(s * b, *masks.shape[2:]), hw, hw)
+                if flat is None:
+                    raise ValueError(
+                        f"mask {masks.shape[2]}x{masks.shape[3]} is not an "
+                        f"integer multiple of the {hw}^2 latent grid")
+                masks = flat.reshape(s, b, hw, hw, masks.shape[-1])
+            stack["image"] = masks
+        if "class" in condition_types:
+            oh = np.eye(num_classes, dtype=np.float32)
+            stack["class"] = np.stack(
+                [oh[np.asarray(c["class"])] for c in conds])
+        return stack
 
     def flush(epoch_losses, k_step):
         if not pending:
             return
-        if len(pending) == 1 or steps_per_call == 1:
-            for latents, cond in pending:
-                epoch_losses.append(
-                    trainer.train_step(latents, cond, k_step)["loss"])
-        else:
-            stack = jnp.stack([p[0] for p in pending])
-            conds = [p[1] or {} for p in pending]
-            cond_stack = (jax.tree.map(lambda *xs: jnp.stack(xs), *conds)
-                          if conds[0] else None)
-            losses = trainer.train_multi_step(stack, cond_stack, k_step)
-            epoch_losses.extend(losses)
+        lat = shard_stacked_batch(mesh, np.stack([p[0] for p in pending]))
+        cond_stack = None
+        if condition_types:
+            cond_stack = shard_stacked_batch(
+                mesh, build_cond_stack([p[1] for p in pending]))
+        epoch_losses.extend(trainer.train_multi_step(lat, cond_stack, k_step))
         pending.clear()
 
     for epoch in range(num_epochs):
         epoch_losses = []
         for batch in dl.epoch(epoch):
             im, cond_np = batch if condition_types else (batch, {})
-            key, k_step, k_enc = jax.random.split(key, 3)
+            key, k_step = jax.random.split(key)
             if vqvae is not None:
-                z, _ = vqvae.encode(jnp.asarray(im))
-                latents = z
+                # on-the-fly encode (slow path, warned above): fetch to host
+                # and continue through the same host-accumulated feed
+                latents = np.asarray(vqvae.encode(jnp.asarray(im))[0])
             else:
-                latents = jnp.asarray(im)
-            cond = prepare_cond_batch(cond_np, condition_types, tokenizer,
-                                      text_model, num_classes,
-                                      latent_size=latent_hw(cfg))
-            latents = shard_batch(mesh, latents)
-            cond = shard_batch(mesh, cond) if cond else None
-            pending.append((latents, cond))
+                latents = np.asarray(im)
+            pending.append((latents, cond_np))
             if len(pending) >= steps_per_call:
                 flush(epoch_losses, k_step)
         key, k_tail = jax.random.split(key)
