@@ -20,7 +20,7 @@ while [ $(date +%s) -lt $(( END - 1800 )) ]; do
         $R/t_synthface256_dit9_10k_train_end \
         $R/t_synthface256_dit12_10k_train_end \
         $R/t_synthface256_10k_text_image_cond_train_end $R/t_end
-  SF10K_DEADLINE=$(( $(date +%s) + PASS_S )) bash run_family10k_r4.sh \
+  SF10K_DEADLINE=$(( $(date +%s) + PASS_S )) bash run_family10k_pass.sh \
     > $R/ext_pass_${PASS}.log 2>&1
   echo "EXT_PASS_${PASS}_DONE rc=$?"
   PASS=$(( PASS + 1 ))
