@@ -1,4 +1,4 @@
-"""Tensor parallelism for the DiT denoiser: Megatron-style param shardings
+"""Tensor parallelism for the denoisers (DiT and the UNet attention): Megatron-style param shardings
 over a ('data', 'model') mesh.
 
 The reference scales by data parallelism only (DDP; SURVEY.md §2.7) — on
@@ -30,12 +30,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (path-suffix, spec) — first match wins; paths are tuples of str keys from
 # nnx.state. Column-parallel kernels shard axis 1, row-parallel shard axis 0.
 _DIT_TP_RULES: Tuple[Tuple[Tuple[str, ...], P], ...] = (
+    # DiT fused-projection attention + MLP (models/dit.py)
     (("qkv_proj", "kernel"), P(None, "model")),
     (("qkv_proj", "bias"), P("model")),
     (("mlp_in", "kernel"), P(None, "model")),
     (("mlp_in", "bias"), P("model")),
     (("output_proj", "kernel"), P("model", None)),
     (("mlp_out", "kernel"), P("model", None)),
+    # UNet separate-projection attention (models/common.py
+    # MultiheadAttention): q/k/v column-parallel = heads split over
+    # 'model' (requires num_heads % tp == 0), out row-parallel; the
+    # UNet's convs/resnets stay replicated (the DP axis covers them)
+    (("q_proj", "kernel"), P(None, "model")),
+    (("q_proj", "bias"), P("model")),
+    (("k_proj", "kernel"), P(None, "model")),
+    (("k_proj", "bias"), P("model")),
+    (("v_proj", "kernel"), P(None, "model")),
+    (("v_proj", "bias"), P("model")),
+    (("out_proj", "kernel"), P("model", None)),
 )
 
 

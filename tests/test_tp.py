@@ -82,3 +82,32 @@ class TestTpTrainStep:
         qkv = m_tp.transformer_layers[0].attn_block.qkv_proj.kernel[...]
         spec = qkv.sharding.spec if hasattr(qkv.sharding, "spec") else None
         assert spec == P(None, "model")
+
+
+class TestTpUnet:
+    def test_unet_attention_tp_matches_unsharded(self):
+        """The UNet's separate-projection attention shards head-parallel
+        (q/k/v column, out row) — a 2x2 DP x TP train step reproduces the
+        single-device loss; convs stay replicated."""
+        from stablediffusion_pytorch_tpu.models import Unet
+        from tests.test_models import TINY_UNET
+
+        mesh = make_mesh(4, ("data", "model"), axis_sizes=(2, 2))
+        sched = make_compvis_linear_schedule(20, 0.0015, 0.0195)
+        lat = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 4))
+        key = jax.random.PRNGKey(3)
+
+        m_ref = Unet(4, dict(TINY_UNET), rngs=nnx.Rngs(0))
+        tr_ref = LdmTrainer(m_ref, sched, lr=1e-3)
+        loss_ref = float(tr_ref.train_step(lat, None, key)["loss"])
+
+        m_tp = Unet(4, dict(TINY_UNET), rngs=nnx.Rngs(0))
+        n_tp = apply_tp_sharding(m_tp, mesh)
+        assert n_tp > 0, "no UNet params matched the TP rules"
+        tr_tp = LdmTrainer(m_tp, sched, lr=1e-3)
+        lat_tp = jax.device_put(
+            lat, NamedSharding(mesh, P("data", None, None, None)))
+        loss_tp = float(tr_tp.train_step(lat_tp, None, key)["loss"])
+
+        assert np.isfinite(loss_tp)
+        np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-4)
