@@ -1,0 +1,385 @@
+"""Chunked continuous batching: slot-scheduled diffusion serving.
+
+The fixed-shape :class:`~stablediffusion_pytorch_tpu.serving.engine.
+InferenceEngine` runs each request batch through the whole reverse loop
+together — late arrivals wait for the next full pass, and one request on a
+batch-8 engine pays the full padded-batch latency (measured: 0.99 s vs
+0.18 s dedicated, PERF.md round-3 serving section). GPU serving stacks fix
+this with continuous batching (iteration-level scheduling); a literal port
+(admit after every step) is wrong on a relay-attached TPU because every
+dispatch costs ~30 ms — 50 dispatches per request would pay 1.5 s of pure
+latency that the single-scan engine pays once.
+
+This module is the TPU-native middle point — CHUNKED continuous batching:
+
+  * ``slots`` concurrent requests live in one fixed (S, hw, hw, z) latent
+    tensor; each slot carries its own position in the (static) DDIM
+    timestep subsequence, its own conditioning rows, guidance, and PRNG key.
+  * One compiled ``tick`` advances every occupied slot by ``chunk`` DDIM
+    steps in a single dispatch (``lax.scan`` over the chunk, per-slot
+    timestep gather — numerically the same update as samplers.ddim_sample,
+    just vectorized over heterogeneous per-slot t).
+  * New requests are admitted at CHUNK BOUNDARIES into free or finished
+    slots: the host updates (S, ...) numpy mirrors of cond/guidance/keys
+    and a ``fresh`` mask; the tick initializes fresh slots' latents from
+    their per-request seed keys on device — admission costs zero extra
+    dispatches.
+  * Finished slots decode through a second compiled program (all S slots,
+    executed only on chunks where something finished) and their futures
+    resolve; the freed slots admit the next queue entries.
+
+Per-request determinism matches the fixed engine exactly: the same seed
+gives the same latent init (``normal(PRNGKey(seed))``) and eta=0 DDIM is
+noise-free, so a request's image is independent of what shares its slots —
+pinned by tests/test_continuous.py against InferenceEngine outputs.
+
+Throughput math (DDIM-50, chunk 10): a request's lifetime spans 5 ticks;
+admission latency is at most one tick (~chunk x step_ms), dispatch overhead
+is amortized 10x, and under streaming load every model eval runs at full
+slot occupancy instead of padding — which is where the fixed engine loses
+(its padding probe: 1 request on the batch-8 program costs 5.5x dedicated).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.schedulers import (
+    make_compvis_linear_schedule,
+)
+from stablediffusion_pytorch_tpu.schedulers.samplers import (
+    cfg_blend, ddim_timesteps,
+)
+from stablediffusion_pytorch_tpu.serving.engine import GenerateRequest
+from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
+    nearest_resize_np,
+)
+
+
+class SlotEngine:
+    """Slot-scheduled DDIM server around a trained denoiser + VQVAE.
+
+    Same construction contract as InferenceEngine (configuration is a
+    compile, a request is a queue entry); ``slots`` plays the role of
+    ``max_batch`` and ``chunk`` sets the admission granularity.
+    """
+
+    def __init__(self, cfg, denoiser, vqvae, tokenizer=None, text_model=None,
+                 *, slots: int = 8, steps: int = 50, chunk: int = 10,
+                 method: str = "linear", eta: float = 0.0,
+                 guidance: float = 2.0, dtype=None):
+        if steps % chunk:
+            raise ValueError(f"chunk {chunk} must divide steps {steps} so "
+                             f"slots finish exactly at chunk boundaries")
+        self.slots = int(slots)
+        self.steps = int(steps)
+        self.chunk = int(chunk)
+        self.method = method
+        self.eta = float(eta)
+        self.default_guidance = float(guidance)
+        self.dtype = dtype or jnp.float32
+        self.cfg = cfg
+
+        dp = dict(cfg.diffusion_params)
+        self._sched = make_compvis_linear_schedule(
+            dp["num_timesteps"], dp["beta_start"], dp["beta_end"])
+
+        cc = dict(cfg.ldm_params).get("condition_config") or {}
+        self.condition_types = list(cc.get("condition_types", []))
+        self._cond_config = cc
+        self.tokenizer, self.text_model = tokenizer, text_model
+        if "text" in self.condition_types and tokenizer is None:
+            raise ValueError("config wants text conditioning: pass "
+                             "tokenizer/text_model")
+
+        from stablediffusion_pytorch_tpu.tools.common import latent_hw
+
+        self._hw = latent_hw(cfg)
+        self._z = cfg.autoencoder_params["z_channels"]
+        self._den_graphdef, self._den_state = nnx.split(denoiser)
+        self._vq_graphdef, self._vq_state = nnx.split(vqvae)
+
+        if "text" in self.condition_types:
+            from stablediffusion_pytorch_tpu.data.text import (
+                get_text_representation,
+            )
+
+            self._uncond_text = np.asarray(get_text_representation(
+                [""], tokenizer, text_model))[0]
+
+        # ---- host-side slot mirrors (numpy; shipped whole each tick) ----
+        S = self.slots
+        self._pos = np.full((S,), self.steps, np.int32)   # steps = idle
+        self._occupied = np.zeros((S,), bool)
+        self._futures: list[Optional[Future]] = [None] * S
+        self._g = np.full((S, 1, 1, 1), self.default_guidance, np.float32)
+        self._keys = np.zeros((S, 2), np.uint32)
+        self._cond = {}
+        self._uncond = {}
+        if "text" in self.condition_types:
+            emb_shape = self._uncond_text.shape
+            self._cond["text"] = np.zeros((S, *emb_shape), np.float32)
+            self._uncond["text"] = np.broadcast_to(
+                self._uncond_text, (S, *emb_shape)).copy()
+        if "image" in self.condition_types:
+            icc = cc["image_condition_config"]
+            ch = icc["image_condition_input_channels"]
+            self._cond["image"] = np.zeros((S, self._hw, self._hw, ch),
+                                           np.float32)
+            self._uncond["image"] = np.zeros_like(self._cond["image"])
+        if "class" in self.condition_types:
+            ncls = cc["class_condition_config"]["num_classes"]
+            self._cond["class"] = np.zeros((S, ncls), np.float32)
+            self._uncond["class"] = np.zeros_like(self._cond["class"])
+
+        # device-resident latents (donated through the tick)
+        self._lat = jnp.zeros((S, self._hw, self._hw, self._z), self.dtype)
+
+        self._queue: "queue.Queue[tuple[GenerateRequest, Future]]" = (
+            queue.Queue())
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_ticks = 0
+        self._occ_sum = 0
+        self._tick_fn = jax.jit(self._build_tick(), donate_argnums=(1,))
+        self._decode_fn = jax.jit(self._build_decode())
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # ---- compiled programs ------------------------------------------------
+    def _build_tick(self):
+        den_graphdef = self._den_graphdef
+        sched, K = self._sched, self.chunk
+        steps, hw, z, dtype = self.steps, self._hw, self._z, self.dtype
+        has_cond = bool(self.condition_types)
+        eta = self.eta
+        ts_np, ts_prev_np = ddim_timesteps(sched.num_timesteps, steps,
+                                           self.method)
+        # position p walks 0..steps-1 through the REVERSED subsequence,
+        # exactly ddim_sample's scan order
+        ts = jnp.asarray(ts_np[::-1].copy(), jnp.int32)
+        ts_prev = jnp.asarray(ts_prev_np[::-1].copy(), jnp.int32)
+
+        def tick(den_state, lat, pos, occupied, fresh, keys, g,
+                 cond, uncond, noise_key):
+            # fresh slots: latent init from the request's own seed key —
+            # identical to InferenceEngine's vmap(normal) init
+            init = jax.vmap(
+                lambda k: jax.random.normal(k, (hw, hw, z), dtype))(keys)
+            lat = jnp.where(fresh[:, None, None, None], init, lat)
+            pos = jnp.where(fresh, 0, pos)
+
+            def model_fn(x, t, c=None):
+                m = nnx.merge(den_graphdef, den_state)
+                return m(x, t, c) if c is not None else m(x, t)
+
+            def body(carry, k_step):
+                lat, pos = carry
+                act = occupied & (pos < steps)
+                p = jnp.clip(pos, 0, steps - 1)
+                t = ts[p]                      # (S,) heterogeneous timesteps
+                t_prev = ts_prev[p]
+                if has_cond:
+                    x2 = jnp.concatenate([lat, lat], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    c2 = jax.tree.map(
+                        lambda c, u: jnp.concatenate([c, u], axis=0),
+                        cond, uncond)
+                    eps2 = model_fn(x2, t2, c2)
+                    eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+                    eps = cfg_blend(eps_c, eps_u, g)
+                else:
+                    eps = model_fn(lat, t)
+                # per-slot DDIM update — samplers.ddim_sample:154-168 with
+                # the alpha gathers vectorized over the slot axis
+                a_t = sched.alpha_cum_prod[t][:, None, None, None]
+                a_prev = sched.alpha_cum_prod[t_prev][:, None, None, None]
+                sigma = eta * jnp.sqrt(
+                    (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev))
+                noise = jax.random.normal(k_step, lat.shape, lat.dtype)
+                x_prev = (
+                    jnp.sqrt(a_prev / a_t) * lat
+                    + (jnp.sqrt(1.0 - a_prev - sigma**2)
+                       - jnp.sqrt(a_prev * (1.0 - a_t) / a_t)) * eps
+                    + sigma * noise
+                ).astype(dtype)
+                lat = jnp.where(act[:, None, None, None], x_prev, lat)
+                pos = jnp.where(act, pos + 1, pos)
+                return (lat, pos), None
+
+            (lat, pos), _ = jax.lax.scan(
+                body, (lat, pos), jax.random.split(noise_key, K))
+            return lat, pos
+
+        return tick
+
+    def _build_decode(self):
+        vq_graphdef = self._vq_graphdef
+
+        def decode(vq_state, lat):
+            imgs = nnx.merge(vq_graphdef, vq_state).decode(lat)
+            imgs = (jnp.clip(imgs.astype(jnp.float32), -1.0, 1.0)
+                    + 1.0) * 127.5
+            return jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
+
+        return decode
+
+    # ---- admission ----------------------------------------------------------
+    def _admit(self, slot: int, req: GenerateRequest, fut: Future) -> None:
+        self._occupied[slot] = True
+        self._futures[slot] = fut
+        self._keys[slot] = np.asarray(
+            jax.random.PRNGKey(int(req.seed)), np.uint32)
+        self._g[slot] = (req.guidance if req.guidance is not None
+                         else self.default_guidance)
+        if "text" in self.condition_types:
+            from stablediffusion_pytorch_tpu.data.text import (
+                get_text_representation,
+            )
+
+            self._cond["text"][slot] = np.asarray(get_text_representation(
+                [req.prompt or ""], self.tokenizer, self.text_model))[0]
+        if "image" in self.condition_types:
+            ch = self._cond["image"].shape[-1]
+            if req.mask is None:
+                self._cond["image"][slot] = 0.0
+            else:
+                m = np.asarray(req.mask, np.float32)[None]
+                host = nearest_resize_np(m, self._hw, self._hw)
+                if host is None:
+                    raise ValueError(
+                        f"mask {m.shape} is not an integer multiple of the "
+                        f"{self._hw}^2 latent grid")
+                if host.shape[-1] != ch:
+                    raise ValueError(f"mask must end in {ch} channels")
+                self._cond["image"][slot] = host[0]
+        if "class" in self.condition_types:
+            ncls = self._cond["class"].shape[-1]
+            cid = req.class_id if req.class_id is not None else 0
+            self._cond["class"][slot] = np.eye(ncls, dtype=np.float32)[cid]
+
+    # ---- the scheduler loop -------------------------------------------------
+    def _tick_once(self) -> int:
+        """Admit -> one chunk dispatch -> resolve finished. Returns the
+        number of active slots after the tick (0 = idle)."""
+        with self._lock:
+            fresh = np.zeros((self.slots,), bool)
+            for s in range(self.slots):
+                if self._occupied[s]:
+                    continue
+                try:
+                    req, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                self._admit(s, req, fut)
+                fresh[s] = True
+            if not self._occupied.any():
+                return 0
+            self._n_ticks += 1
+            self._occ_sum += int(self._occupied.sum())
+
+            noise_key = jax.random.fold_in(
+                jax.random.PRNGKey(0x51075), int(self._pos.sum()))
+            self._lat, pos_dev = self._tick_fn(
+                self._den_state, self._lat, jnp.asarray(self._pos),
+                jnp.asarray(self._occupied), jnp.asarray(fresh),
+                jnp.asarray(self._keys), jnp.asarray(self._g),
+                {k: jnp.asarray(v) for k, v in self._cond.items()},
+                {k: jnp.asarray(v) for k, v in self._uncond.items()},
+                noise_key)
+            self._pos = np.asarray(pos_dev)
+
+            done = self._occupied & (self._pos >= self.steps)
+            if done.any():
+                imgs = np.asarray(
+                    self._decode_fn(self._vq_state, self._lat))
+                for s in np.nonzero(done)[0]:
+                    fut = self._futures[s]
+                    self._futures[s] = None
+                    self._occupied[s] = False
+                    if fut is not None:
+                        fut.set_result(imgs[s])
+            return int(self._occupied.sum())
+
+    # ---- public API ---------------------------------------------------------
+    def submit(self, req: GenerateRequest) -> Future:
+        """Queue one request; the Future resolves to a (H, W, C) uint8."""
+        fut: Future = Future()
+        self._n_requests += 1
+        self._queue.put((req, fut))
+        return fut
+
+    def generate(self, requests: Sequence[GenerateRequest]) -> np.ndarray:
+        """Synchronous helper mirroring InferenceEngine.generate: submit
+        all, drive ticks until every future resolves."""
+        futs = [self.submit(r) for r in requests]
+        self.run_until_idle()
+        return np.stack([f.result() for f in futs])
+
+    def warmup(self) -> float:
+        """Compile + run the tick/decode programs once; returns seconds."""
+        t0 = time.perf_counter()
+        self.generate([GenerateRequest()])
+        return time.perf_counter() - t0
+
+    def run_until_idle(self) -> None:
+        """Drive the scheduler inline until queue + slots drain (used by
+        tests/benchmarks and by callers without the background worker)."""
+        while not self._queue.empty() or self._occupied.any():
+            self._tick_once()
+
+    def start(self, poll_s: float = 0.005) -> None:
+        """Background scheduler thread (the serving daemon path)."""
+        if self._worker is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                if self._tick_once() == 0 and self._queue.empty():
+                    time.sleep(poll_s)
+
+        self._worker = threading.Thread(target=loop, daemon=True)
+        self._worker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout=30)
+            self._worker = None
+
+    # RequestBatcher-compatible surface (serving/server.py uses the
+    # batcher's submit/stats/close triple)
+    def close(self) -> None:
+        self.stop()
+
+    def stats(self) -> dict:
+        return {
+            "requests": self._n_requests,
+            "ticks": self._n_ticks,
+            "mean_slot_occupancy": (round(self._occ_sum / self._n_ticks, 3)
+                                    if self._n_ticks else 0.0),
+            "slots": self.slots, "chunk": self.chunk,
+        }
+
+    def info(self) -> dict:
+        from stablediffusion_pytorch_tpu.utils.provenance import build_stamp
+
+        return {
+            "slots": self.slots, "steps": self.steps, "chunk": self.chunk,
+            "method": self.method, "eta": self.eta,
+            "default_guidance": self.default_guidance,
+            "condition_types": self.condition_types,
+            "latent": [self._hw, self._hw, self._z],
+            "provenance": build_stamp(tokenizer=self.tokenizer,
+                                      text_model=self.text_model),
+        }

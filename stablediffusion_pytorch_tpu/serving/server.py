@@ -121,6 +121,13 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     used by tests). ``server.batcher.close()`` on shutdown."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.engine = engine
-    srv.batcher = RequestBatcher(engine, window_s=window_s)
+    if hasattr(engine, "_tick_once"):
+        # SlotEngine (serving/continuous.py) schedules itself: its
+        # submit/stats/close triple is batcher-compatible, and its
+        # background scheduler thread replaces the coalescing worker
+        engine.start()
+        srv.batcher = engine
+    else:
+        srv.batcher = RequestBatcher(engine, window_s=window_s)
     srv.request_timeout_s = request_timeout_s
     return srv

@@ -54,6 +54,18 @@ def build_engine(args) -> InferenceEngine:
         tokenizer, text_model = get_tokenizer_and_model(
             cc["text_condition_config"].get("text_embed_model", "clip"),
             weights_path=args.text_weights)
+    if getattr(args, "continuous", False):
+        # chunked continuous batching (serving/continuous.py): admit at
+        # chunk boundaries instead of coalescing into fixed passes
+        if args.mesh_devices:
+            raise ValueError("--continuous is single-device for now; drop "
+                             "--mesh-devices or use the fixed engine")
+        from stablediffusion_pytorch_tpu.serving import SlotEngine
+
+        return SlotEngine(
+            cfg, model, vqvae, tokenizer, text_model,
+            slots=args.max_batch, steps=args.steps, chunk=args.chunk,
+            method=args.method, guidance=args.cf_guidance_scale, dtype=dtype)
     mesh = None
     if args.mesh_devices:
         from stablediffusion_pytorch_tpu.parallel.mesh import make_mesh
@@ -83,6 +95,13 @@ def main():
     parser.add_argument("--window-ms", type=float, default=50.0,
                         help="batching window after the first request")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--continuous", action="store_true",
+                        help="chunked continuous batching (SlotEngine): "
+                             "admit requests at chunk boundaries instead "
+                             "of coalescing fixed passes")
+    parser.add_argument("--chunk", type=int, default=10,
+                        help="DDIM steps per tick with --continuous "
+                             "(must divide --steps)")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip the compile-at-boot warmup call")
     args = parser.parse_args()
