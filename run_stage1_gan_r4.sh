@@ -20,9 +20,10 @@ date +%s > $R/t_start
 # this runs in the quiet window right after the family pass releases the
 # chip, giving the single-file sweep PERF.md should cite).
 if [ ! -f runs_evidence_r4/serving_sweep_r4.json ]; then
-  timeout 1500 python -m stablediffusion_pytorch_tpu.tools.bench_serving \
+  timeout 2400 python -m stablediffusion_pytorch_tpu.tools.bench_serving \
     --config synthface256_text_image_cond --batches 1,4,8 --steps 50 \
-    --reps 3 --bf16 --out runs_evidence_r4/serving_sweep_r4.json \
+    --reps 3 --bf16 --streaming --chunk 10 \
+    --out runs_evidence_r4/serving_sweep_r4.json \
     > runs_evidence_r4/serving_sweep_r4.log 2>&1
 fi
 

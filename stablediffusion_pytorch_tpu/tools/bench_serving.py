@@ -74,6 +74,58 @@ def bench_engine(engine: InferenceEngine, reps: int, mask_shape,
     return statistics.median(times)
 
 
+def bench_streaming(cfg, model, vqvae, tokenizer, text_model, mask_shape,
+                    *, slots: int, steps: int, chunk: int, n_requests: int,
+                    interval_s: float, dtype):
+    """Streaming-arrival comparison: the same staggered request trace
+    through (a) the fixed engine + RequestBatcher (coalescing window) and
+    (b) the chunked-continuous SlotEngine. Reports per-request latency and
+    makespan — the number the padding-cost probe only bounds."""
+    from stablediffusion_pytorch_tpu.serving import (
+        RequestBatcher, SlotEngine,
+    )
+
+    reqs = _requests(n_requests, mask_shape, base_seed=9000)
+
+    def drive(submit, close):
+        futs, t_sub = [], []
+        t0 = time.perf_counter()
+        for r in reqs:
+            t_sub.append(time.perf_counter() - t0)
+            futs.append(submit(r))
+            time.sleep(interval_s)
+        lats = [
+            (fut.result(timeout=600), time.perf_counter() - t0 - t_s)[1]
+            for fut, t_s in zip(futs, t_sub)]
+        makespan = time.perf_counter() - t0
+        close()
+        return {"mean_latency_s": round(statistics.mean(lats), 3),
+                "p90_latency_s": round(sorted(lats)[int(0.9 * len(lats))], 3),
+                "makespan_s": round(makespan, 3),
+                "images_per_sec": round(n_requests / makespan, 3)}
+
+    fixed = InferenceEngine(cfg, model, vqvae, tokenizer, text_model,
+                            max_batch=slots, steps=steps, dtype=dtype)
+    fixed.warmup()
+    batcher = RequestBatcher(fixed, window_s=0.05)
+    row_fixed = drive(batcher.submit, batcher.close)
+
+    slot = SlotEngine(cfg, model, vqvae, tokenizer, text_model,
+                      slots=slots, steps=steps, chunk=chunk, dtype=dtype)
+    slot.warmup()
+    slot.start()
+    row_slot = drive(slot.submit, slot.stop)
+    row_slot["scheduler"] = slot.stats()
+
+    out = {"streaming": {"n_requests": n_requests,
+                         "interval_s": interval_s, "slots": slots,
+                         "chunk": chunk,
+                         "fixed_engine": row_fixed,
+                         "slot_engine": row_slot}}
+    print(json.dumps(out), flush=True)
+    return out["streaming"]
+
+
 def main():
     p = argparse.ArgumentParser(description="serving throughput benchmark")
     p.add_argument("--config", default="synthface256_text_image_cond")
@@ -81,6 +133,12 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="also run the staggered-arrival fixed-vs-SlotEngine "
+                        "comparison (one extra engine compile)")
+    p.add_argument("--stream-requests", type=int, default=24)
+    p.add_argument("--stream-interval", type=float, default=0.25)
+    p.add_argument("--chunk", type=int, default=10)
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -132,12 +190,21 @@ def main():
                     if r["max_batch"] == 1), None)}
         print(json.dumps({"padding_cost": pad}), flush=True)
 
+    streaming = None
+    if args.streaming:
+        slots = max(int(x) for x in args.batches.split(","))
+        streaming = bench_streaming(
+            cfg, model, vqvae, tokenizer, text_model, mask_shape,
+            slots=slots, steps=args.steps, chunk=args.chunk,
+            n_requests=args.stream_requests,
+            interval_s=args.stream_interval, dtype=dtype)
+
     from stablediffusion_pytorch_tpu.utils.provenance import build_stamp
 
     report = {"metric": "serving_images_per_sec",
               "config": args.config, "bf16": bool(args.bf16),
               "value": max(r["images_per_sec"] for r in rows),
-              "rows": rows, "padding_cost": pad,
+              "rows": rows, "padding_cost": pad, "streaming": streaming,
               "provenance": build_stamp(tokenizer=tokenizer,
                                         text_model=text_model)}
     print(json.dumps({k: report[k] for k in

@@ -126,3 +126,23 @@ def test_http_server_with_slot_engine(slot_engine):
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_bench_streaming_smoke(engine):  # noqa: F811
+    """bench_serving.bench_streaming runs the fixed-vs-slot comparison on
+    the tiny config and reports sane latency/occupancy numbers."""
+    from stablediffusion_pytorch_tpu.tools.bench_serving import (
+        bench_streaming,
+    )
+    from stablediffusion_pytorch_tpu.tools.common import (
+        build_denoiser, build_vqvae,
+    )
+
+    out = bench_streaming(
+        engine.cfg, build_denoiser(engine.cfg), build_vqvae(engine.cfg),
+        engine.tokenizer, engine.text_model, (32, 32, 18),
+        slots=4, steps=4, chunk=2, n_requests=6, interval_s=0.01,
+        dtype=None)
+    assert out["fixed_engine"]["images_per_sec"] > 0
+    assert out["slot_engine"]["images_per_sec"] > 0
+    assert out["slot_engine"]["scheduler"]["requests"] >= 6
