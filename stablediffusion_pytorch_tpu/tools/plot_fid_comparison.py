@@ -22,7 +22,7 @@ REFERENCE_FID = {
 }
 
 
-def plot(series: dict, out_path: str) -> None:
+def plot(series: dict, out_path: str, ylabel: str | None = None) -> None:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -46,7 +46,7 @@ def plot(series: dict, out_path: str) -> None:
             ax.text(xi, v, f"{v:.2f}", ha="center", va="bottom", fontsize=8)
     ax.set_xticks(x)
     ax.set_xticklabels(names)
-    ax.set_ylabel("FID (CelebHQ-256)")
+    ax.set_ylabel(ylabel or "FID (CelebHQ-256)")
     ax.set_title("FID comparison: denoiser families / noise regimes")
     ax.legend()
     fig.tight_layout()
@@ -60,15 +60,24 @@ def main():
     parser.add_argument("--out", default="fid_comparison.png")
     parser.add_argument("--extra", nargs="*", default=[],
                         help="name=ideal[,noisy] additional series")
+    parser.add_argument("--no-reference", action="store_true",
+                        help="plot only --extra series (framework-FID is a "
+                        "different extractor scale than the reference's "
+                        "InceptionV3 numbers)")
+    parser.add_argument("--ylabel", default=None,
+                        help="override the y-axis label")
     args = parser.parse_args()
-    series = {k: dict(v) for k, v in REFERENCE_FID.items()}
+    series = ({} if args.no_reference
+              else {k: dict(v) for k, v in REFERENCE_FID.items()})
     for spec in args.extra:
         name, vals = spec.split("=")
         parts = [float(v) for v in vals.split(",")]
         series[name] = {"ideal": parts[0]}
         if len(parts) > 1:
             series[name]["noisy"] = parts[1]
-    plot(series, args.out)
+    if not series:
+        parser.error("--no-reference requires at least one --extra series")
+    plot(series, args.out, ylabel=args.ylabel)
 
 
 if __name__ == "__main__":
