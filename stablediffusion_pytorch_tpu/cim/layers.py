@@ -48,6 +48,7 @@ from stablediffusion_pytorch_tpu.ops.quant import (
     data_quant,
     data_quant_lsq,
     data_quant_pass,
+    get_external_noise_key,
     weight_quant_lsq,
 )
 from stablediffusion_pytorch_tpu.ops.ste import clamp_pass, round_pass
@@ -102,23 +103,30 @@ class QuantState(nnx.Module):
                               isint=isint)
 
     def _noise_key(self, x: jax.Array) -> jax.Array:
-        """Fresh key per forward. Uses the layer's stateful RNG stream when
-        the module is threaded through the transform (nnx.jit/nnx.grad —
-        training: true i.i.d. resampling per call, matching the reference's
-        quant_noise_utils.add_noise:92-98); inside a closure-captured jitted
-        scan (the samplers) flax forbids mutating the count
-        (TraceContextError), so fall back to a stateless key derived from
-        the input data.
+        """Fresh key per forward, resolved in priority order:
 
-        Distributional caveat (VERDICT r3): the fallback makes sampler-time
-        weight noise a pure function of the activations — the same input
-        reproduces the same "noise", and the key is data-correlated, where
-        the reference draws an independent sample per call. Across denoise
-        steps the activations change, so successive steps still see
-        different draws; within one step the draw is frozen. This is the
-        documented inference-time semantics (deterministic per (seed,
-        input) — which also makes sampled evidence reproducible); training
-        always takes the stateful branch."""
+        1. An external key set by ``ops.quant.external_noise_key`` (the
+           samplers thread a fresh per-step split through their scan
+           bodies): fold in the per-layer seed → noise i.i.d. across
+           denoise steps, independent of the data, decorrelated across
+           layers, reproducible from the sampler key. This matches the
+           reference's per-call resampling (quant_noise_utils.py:92-98)
+           at inference.
+        2. The layer's stateful RNG stream when the module is threaded
+           through the transform (nnx.jit/nnx.grad — training: true
+           i.i.d. resampling per call).
+        3. Inside a closure-captured jitted scan with no external key,
+           flax forbids mutating the RNG count (TraceContextError): fall
+           back to a stateless key derived from the input data. Caveat
+           (VERDICT r3): this makes weight noise a pure function of the
+           activations — same input ⇒ same "noise", data-correlated —
+           where the reference draws independently per call. Across
+           denoise steps the activations change, so steps still see
+           different draws. Only custom sampling loops that bypass the
+           shipped samplers hit this branch."""
+        ext = get_external_noise_key()
+        if ext is not None:
+            return jax.random.fold_in(ext, self.seed)
         try:
             return self.noise_rngs.noise()
         except flax_errors.TraceContextError:

@@ -19,6 +19,8 @@ from stablediffusion_pytorch_tpu.ops.quant import (
     weight_quant_round,
     weight_quant_floor,
     add_noise,
+    external_noise_key,
+    get_external_noise_key,
     init_step_size,
 )
 from stablediffusion_pytorch_tpu.ops.bit_ops import (

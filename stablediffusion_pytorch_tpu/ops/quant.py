@@ -11,7 +11,8 @@ per-cycle recompile model).
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +128,43 @@ def weight_quant_round(data_float, data_bit, step_size, isint=False):
 def weight_quant_floor(data_float, data_bit, step_size, isint=False):
     """Fixed-step floor quantizer (no LSQ grad). Reference: :122-138."""
     return _lsq_core(data_float, data_bit, step_size, isint, floor_pass, False)
+
+
+# -- external noise-key threading (sampler-time i.i.d. weight noise) --------
+#
+# Flax forbids advancing a module's stateful RNG stream inside a jitted scan
+# whose module is closure-captured (the samplers), so without help the
+# quantized layers fall back to a key derived from the activations — noise
+# that is deterministic per (seed, input) and data-correlated, where the
+# reference resamples independently per call (quant_noise_utils.py:92-98).
+# The samplers wrap each denoiser call in ``external_noise_key(k_step)``
+# with a fresh per-step split; layers pick it up and fold in their per-layer
+# seed, giving noise that is i.i.d. across denoise steps, independent of the
+# data, decorrelated across layers, and reproducible from the sampler key.
+#
+# The global is read at TRACE time: it must be set around the code that
+# traces the model call (the samplers do this inside their scan bodies). A
+# model jitted separately and cache-hit from a trace taken outside the
+# context will not see the key — keep the context around the outermost
+# traced call, as the shipped samplers do.
+_EXTERNAL_NOISE_KEY: Optional[jax.Array] = None
+
+
+@contextlib.contextmanager
+def external_noise_key(key: Optional[jax.Array]):
+    """Set the trace-time external noise key for quantized-layer weight noise."""
+    global _EXTERNAL_NOISE_KEY
+    prev = _EXTERNAL_NOISE_KEY
+    _EXTERNAL_NOISE_KEY = key
+    try:
+        yield
+    finally:
+        _EXTERNAL_NOISE_KEY = prev
+
+
+def get_external_noise_key() -> Optional[jax.Array]:
+    """The key set by :func:`external_noise_key`, or None outside the context."""
+    return _EXTERNAL_NOISE_KEY
 
 
 def add_noise(weight: jax.Array, key: jax.Array, n_scale: float = 0.074) -> jax.Array:

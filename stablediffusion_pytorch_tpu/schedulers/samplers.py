@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from stablediffusion_pytorch_tpu.ops import quant
 from stablediffusion_pytorch_tpu.schedulers.linear import (
     LinearNoiseSchedule,
     sample_prev_timestep,
@@ -84,9 +85,13 @@ def ddpm_sample(
 
     def body(carry, t):
         x, k = carry
-        k, k_step = jax.random.split(k)
+        k, k_step, k_noise = jax.random.split(k, 3)
         tb = jnp.full((batch,), t, jnp.int32)
-        eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
+        # per-step external noise key: quantized layers resample their
+        # weight noise i.i.d. each denoise step (reference per-call
+        # semantics) instead of falling back to a data-derived key
+        with quant.external_noise_key(k_noise):
+            eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
         x_prev, x0 = sample_prev_timestep(sched, x, eps, t, k_step)
         # f32 coefficient tables promote low-precision latents; keep the
         # scan carry at the input dtype (bf16 sampling support)
@@ -147,9 +152,11 @@ def ddim_sample(
     def body(carry, t_pair):
         x, k = carry
         t, t_prev = t_pair
-        k, k_step = jax.random.split(k)
+        k, k_step, k_noise = jax.random.split(k, 3)
         tb = jnp.full((batch,), t, jnp.int32)
-        eps_theta = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
+        with quant.external_noise_key(k_noise):
+            eps_theta = _predict_eps(model_fn, x, tb, cond, uncond,
+                                     guidance_scale)
 
         alpha_t = sched.alpha_cum_prod[t]
         alpha_prev = sched.alpha_cum_prod[t_prev]
@@ -184,6 +191,7 @@ def dpm_solver_sample(
     cond: Optional[dict] = None,
     uncond: Optional[dict] = None,
     guidance_scale: Optional[float] = None,
+    noise_key: Optional[jax.Array] = None,
 ):
     """DPM-Solver++(2M) — deterministic multistep ODE sampler, one lax.scan.
 
@@ -230,7 +238,12 @@ def dpm_solver_sample(
         x, x0_prev = carry
         (a_i, s_i, a_pi, s_pi, h_i, h_pi, idx), t = step
         tb = jnp.full((batch,), t, jnp.int32)
-        eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
+        # the ODE solver is deterministic; quantized-model weight noise
+        # still resamples per step when a noise_key is supplied
+        k_noise = (None if noise_key is None
+                   else jax.random.fold_in(noise_key, idx.astype(jnp.int32)))
+        with quant.external_noise_key(k_noise):
+            eps = _predict_eps(model_fn, x, tb, cond, uncond, guidance_scale)
         x0 = (x.astype(jnp.float32) - s_i * eps.astype(jnp.float32)) / a_i
         r = h_pi / h_i
         d_multi = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
