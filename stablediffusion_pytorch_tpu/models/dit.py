@@ -44,6 +44,21 @@ _zeros = nnx.initializers.zeros
 _normal02 = nnx.initializers.normal(stddev=0.02)
 
 
+def _layer_fwd(layer, x, t_emb, context, mods):
+    """Module-level thunk for nnx.remat (a lambda would re-trace per call)."""
+    return layer(x, t_emb, context, mods=mods)
+
+
+# Gradient checkpointing (jax.checkpoint / remat): recompute each
+# transformer layer's activations in the backward pass instead of storing
+# them — activation memory drops from O(num_layers) to O(1) layers at the
+# cost of one extra forward. On TPU this converts HBM pressure into MXU
+# FLOPs, the standard trade for training deeper configs / bigger batches
+# per chip. Enabled per-model via ``gradient_checkpointing: true`` in the
+# model config or ``model.remat = True`` (and ``--remat`` on the trainers).
+_layer_fwd_remat = nnx.remat(_layer_fwd)
+
+
 def get_patch_position_embedding(pos_emb_dim: int, grid_size) -> jax.Array:
     """2-D sinusoidal position embedding: (h-emb ‖ w-emb), each sin‖cos.
 
@@ -278,6 +293,8 @@ class DIT(nnx.Module):
         self.patch_width = model_config["patch_size"]
         self.timestep_emb_dim = model_config["timestep_emb_dim"]
         num_layers = model_config["num_layers"]
+        # gradient checkpointing: recompute layer activations in backward
+        self.remat = bool(model_config.get("gradient_checkpointing", False))
 
         # ----- conditioning config (reference: transformer.py:59-97) -----
         self.class_cond = False
@@ -434,16 +451,18 @@ class DIT(nnx.Module):
             biases = jnp.concatenate([n.bias[...] for n in norm_layers])
             mods_all = t_relu @ kernels + biases
             h6 = 6 * self.hidden_size
+            fwd = _layer_fwd_remat if self.remat else _layer_fwd
             for i, layer in enumerate(layers):
-                out = layer(out, t_emb, context,
-                            mods=mods_all[:, i * h6:(i + 1) * h6])
+                out = fwd(layer, out, t_emb, context,
+                          mods_all[:, i * h6:(i + 1) * h6])
             shift_scale = jnp.split(mods_all[:, len(layers) * h6:], 2,
                                     axis=-1)
         else:
             # analysis shims (ops_analyzer recorders) or module surgery can
             # replace the modulation Linear with a kernel-less callable —
             # fall back to per-layer modulation
+            fwd = _layer_fwd_remat if self.remat else _layer_fwd
             for layer in layers:
-                out = layer(out, t_emb, context)
+                out = fwd(layer, out, t_emb, context, None)
             shift_scale = None
         return self.finalize(out, t_emb, x.shape, shift_scale=shift_scale)

@@ -35,6 +35,28 @@ from stablediffusion_pytorch_tpu.utils.config_utils import (
 )
 
 
+def _block_fwd(blk, x, t_emb, context):
+    """Module-level thunk for nnx.remat (down/mid blocks)."""
+    return blk(x, t_emb, context)
+
+
+def _up_fwd(blk, x, skip, t_emb, context):
+    """Module-level thunk for nnx.remat (up blocks take the skip tensor)."""
+    return blk(x, skip, t_emb, context)
+
+
+# Gradient checkpointing: recompute each block's activations in the
+# backward pass (jax.checkpoint) — activation HBM drops from O(blocks) to
+# O(1) blocks for one extra forward, the standard TPU trade for training
+# larger batches/resolutions per chip. The skip tensors the UNet topology
+# needs (down_outs) are NOT freed — they are carried between blocks — so
+# the savings come from the per-block internals (resnet/attention
+# activations), which dominate. Enable via ``gradient_checkpointing: true``
+# in the model config / ``model.remat = True`` / ``--remat`` on trainers.
+_block_fwd_remat = nnx.remat(_block_fwd)
+_up_fwd_remat = nnx.remat(_up_fwd)
+
+
 class Unet(nnx.Module):
     def __init__(self, im_channels: int, model_config: dict, *, rngs: nnx.Rngs,
                  dtype=None):
@@ -46,6 +68,8 @@ class Unet(nnx.Module):
         norm_channels = model_config["norm_channels"]
         num_heads = model_config["num_heads"]
         conv_out_channels = model_config["conv_out_channels"]
+        # gradient checkpointing: recompute block activations in backward
+        self.remat = bool(model_config.get("gradient_checkpointing", False))
 
         assert mid_channels[0] == down_channels[-1]
         assert mid_channels[-1] == down_channels[-2]
@@ -170,13 +194,15 @@ class Unet(nnx.Module):
                 "Model initialized with text conditioning but cond_input has no text information"
             context = cond_input["text"]
 
+        blk_fwd = _block_fwd_remat if self.remat else _block_fwd
+        up_fwd = _up_fwd_remat if self.remat else _up_fwd
         down_outs = []
         for down in self.downs:
             down_outs.append(out)
-            out = down(out, t_emb, context)
+            out = blk_fwd(down, out, t_emb, context)
         for mid in self.mids:
-            out = mid(out, t_emb, context)
+            out = blk_fwd(mid, out, t_emb, context)
         for up in self.ups:
-            out = up(out, down_outs.pop(), t_emb, context)
+            out = up_fwd(up, out, down_outs.pop(), t_emb, context)
         out = nnx.silu(self.norm_out(out))
         return self.conv_out(out)

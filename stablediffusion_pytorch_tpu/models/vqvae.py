@@ -24,6 +24,19 @@ from flax import nnx
 from stablediffusion_pytorch_tpu.models.blocks import DownBlock, MidBlock, UpBlock
 
 
+def _blk_fwd(blk, x):
+    """Module-level thunk for nnx.remat (VQVAE blocks take no t_emb)."""
+    return blk(x)
+
+
+# Gradient checkpointing for the stage-1 autoencoder: at 256² batch 8 the
+# encoder/decoder resnet+attention activations dominate training HBM (the
+# GAN step holds generator AND discriminator graphs live). Recompute each
+# block in the backward pass via ``gradient_checkpointing: true`` in the
+# autoencoder config / ``model.remat = True`` / ``train_vqvae --remat``.
+_blk_fwd_remat = nnx.remat(_blk_fwd)
+
+
 class VQVAE(nnx.Module):
     def __init__(self, im_channels: int, model_config: dict, *, rngs: nnx.Rngs,
                  dtype=None):
@@ -38,6 +51,8 @@ class VQVAE(nnx.Module):
         self.codebook_size = model_config["codebook_size"]
         norm_channels = model_config["norm_channels"]
         num_heads = model_config["num_heads"]
+        # gradient checkpointing: recompute block activations in backward
+        self.remat = bool(model_config.get("gradient_checkpointing", False))
 
         assert mid_channels[0] == down_channels[-1]
         assert mid_channels[-1] == down_channels[-1]
@@ -120,11 +135,12 @@ class VQVAE(nnx.Module):
         return quant.reshape(b, h, w, c), losses, indices.reshape(b, h, w)
 
     def _encode_features(self, x: jax.Array) -> jax.Array:
+        fwd = _blk_fwd_remat if self.remat else _blk_fwd
         out = self.encoder_conv_in(x)
         for down in self.encoder_layers:
-            out = down(out)
+            out = fwd(down, out)
         for mid in self.encoder_mids:
-            out = mid(out)
+            out = fwd(mid, out)
         out = nnx.silu(self.encoder_norm_out(out))
         out = self.encoder_conv_out(out)
         return self.pre_quant_conv(out)
@@ -144,12 +160,13 @@ class VQVAE(nnx.Module):
         return out, quant_losses
 
     def decode(self, z: jax.Array) -> jax.Array:
+        fwd = _blk_fwd_remat if self.remat else _blk_fwd
         out = self.post_quant_conv(z)
         out = self.decoder_conv_in(out)
         for mid in self.decoder_mids:
-            out = mid(out)
+            out = fwd(mid, out)
         for up in self.decoder_layers:
-            out = up(out)
+            out = fwd(up, out)
         out = nnx.silu(self.decoder_norm_out(out))
         return self.decoder_conv_out(out)
 

@@ -110,6 +110,12 @@ def train(args):
                               text_model=text_model)
 
     model = build_denoiser(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
+    if getattr(args, "remat", False):
+        # gradient checkpointing: per-layer/per-block activation recompute
+        # in the backward pass (models/{dit,unet}.py) — trains larger
+        # batches/configs in the same HBM for one extra forward of FLOPs
+        model.remat = True
+        log.info("gradient checkpointing (remat) enabled")
     if getattr(args, "resume", None):
         # resume from a prior run's ckpt (reference config key
         # model_paths_ldm_ckpt_resume, multi_gpu.py:249-254)
@@ -306,6 +312,10 @@ def main():
                              "mesh axis; DiT only)")
     parser.add_argument("--microbatches", type=int, default=4,
                         help="GPipe microbatches per step (with --pp)")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient checkpointing: recompute layer/block "
+                             "activations in the backward pass (larger "
+                             "batches per chip for one extra forward)")
     train(parser.parse_args())
 
 

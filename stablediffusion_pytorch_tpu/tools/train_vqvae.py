@@ -49,6 +49,12 @@ def train(args):
     arts = create_run_artifacts(args.output_root, tc["task_name"])
 
     model = build_vqvae(cfg)
+    if getattr(args, "remat", False):
+        # gradient checkpointing: per-block activation recompute in the
+        # backward pass (models/vqvae.py) — frees the dominant share of
+        # the GAN step's HBM at 256² for one extra encoder/decoder forward
+        model.remat = True
+        log.info("gradient checkpointing (remat) enabled")
     disc = Discriminator(cfg.dataset_params["im_channels"], rngs=nnx.Rngs(1))
     lpips = None
     if float(tc.get("perceptual_weight", 0)) > 0:
@@ -189,6 +195,10 @@ def main():
     parser.add_argument("--lpips-weights", default=None)
     parser.add_argument("--output-root", default="runs")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient checkpointing: recompute encoder/"
+                             "decoder block activations in the backward "
+                             "pass (larger batches per chip)")
     args = parser.parse_args()
     if args.noise_sweep:
         train_noise_sweep(args)
