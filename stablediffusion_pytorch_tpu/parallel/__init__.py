@@ -1,5 +1,6 @@
 """Device mesh construction and sharding rules: DP (mesh.py), Megatron
-TP (tp.py), GPipe PP (pp.py), multi-process launch (multiprocess.py)."""
+TP (tp.py), GPipe PP (pp.py), ZeRO-1 optimizer-state sharding (zero.py),
+multi-process launch (multiprocess.py)."""
 
 from stablediffusion_pytorch_tpu.parallel.mesh import (
     make_mesh_for_batch,
@@ -19,4 +20,9 @@ from stablediffusion_pytorch_tpu.parallel.pp import (
     build_pp_forward,
     stack_transformer_layers,
     unstack_into_model,
+)
+from stablediffusion_pytorch_tpu.parallel.zero import (
+    apply_zero1,
+    shard_tree_zero1,
+    zero1_spec,
 )

@@ -175,6 +175,18 @@ def train(args):
                              condition_config=condition_config,
                              empty_text_embed=empty_text_embed)
 
+    if getattr(args, "zero1", False):
+        # ZeRO-1: shard Adam moments + EMA over 'data' — parameters stay
+        # replicated, optimizer memory drops ~Nx (parallel/zero.py)
+        if pp > 1:
+            raise ValueError("--zero1 composes with DP/TP; the PP trainer "
+                             "already shards its optimizer state over "
+                             "'pipe' (training/pp.py)")
+        from stablediffusion_pytorch_tpu.parallel.zero import apply_zero1
+        n_z = apply_zero1(trainer, mesh)
+        log.info("ZeRO-1: sharded %d optimizer/EMA arrays over the "
+                 "%d-way data axis", n_z, mesh.shape["data"])
+
     latent_dir = os.path.join(args.latent_root or args.output_root,
                               tc["task_name"], tc["vqvae_latent_dir_name"])
     # masks are consumed at latent resolution only (prepare_cond_batch);
@@ -312,6 +324,10 @@ def main():
                              "mesh axis; DiT only)")
     parser.add_argument("--microbatches", type=int, default=4,
                         help="GPipe microbatches per step (with --pp)")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1: shard Adam moments + EMA over the "
+                             "data axis (params stay replicated; ~Nx less "
+                             "optimizer HBM per chip)")
     parser.add_argument("--remat", action="store_true",
                         help="gradient checkpointing: recompute layer/block "
                              "activations in the backward pass (larger "
