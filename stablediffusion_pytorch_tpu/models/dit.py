@@ -295,6 +295,10 @@ class DIT(nnx.Module):
         num_layers = model_config["num_layers"]
         # gradient checkpointing: recompute layer activations in backward
         self.remat = bool(model_config.get("gradient_checkpointing", False))
+        # sequence parallelism: parallel/sp.py apply_sp sets this to a
+        # NamedSharding; the residual stream is then constrained to it at
+        # every layer boundary (tokens sharded over the TP axis)
+        self.sp_constraint = None
 
         # ----- conditioning config (reference: transformer.py:59-97) -----
         self.class_cond = False
@@ -453,6 +457,12 @@ class DIT(nnx.Module):
             h6 = 6 * self.hidden_size
             fwd = _layer_fwd_remat if self.remat else _layer_fwd
             for i, layer in enumerate(layers):
+                if self.sp_constraint is not None:
+                    # sequence parallel: the residual stream lives
+                    # token-sharded over the TP axis between layers
+                    # (parallel/sp.py); numerically a no-op
+                    out = jax.lax.with_sharding_constraint(
+                        out, self.sp_constraint)
                 out = fwd(layer, out, t_emb, context,
                           mods_all[:, i * h6:(i + 1) * h6])
             shift_scale = jnp.split(mods_all[:, len(layers) * h6:], 2,

@@ -26,3 +26,7 @@ from stablediffusion_pytorch_tpu.parallel.zero import (
     shard_tree_zero1,
     zero1_spec,
 )
+from stablediffusion_pytorch_tpu.parallel.sp import (
+    apply_sp,
+    sp_sharding,
+)

@@ -164,6 +164,12 @@ def train(args):
             dp //= 2
         mesh = make_mesh(dp * tp, ("data", "model"), axis_sizes=(dp, tp))
         n_tp = apply_tp_sharding(model, mesh)
+        if getattr(args, "sp", False):
+            # sequence parallel: residual-stream tokens sharded over the
+            # TP axis between layers (parallel/sp.py)
+            from stablediffusion_pytorch_tpu.parallel.sp import apply_sp
+            apply_sp(model, mesh)
+            log.info("sequence parallel: residual tokens sharded %d-way", tp)
         trainer = LdmTrainer(model, sched, lr=tc["ldm_lr"],
                              condition_config=condition_config,
                              empty_text_embed=empty_text_embed)
@@ -324,6 +330,10 @@ def main():
                              "mesh axis; DiT only)")
     parser.add_argument("--microbatches", type=int, default=4,
                         help="GPipe microbatches per step (with --pp)")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence parallel (with --tp): shard the "
+                             "residual-stream token axis over the TP axis "
+                             "between layers")
     parser.add_argument("--zero1", action="store_true",
                         help="ZeRO-1: shard Adam moments + EMA over the "
                              "data axis (params stay replicated; ~Nx less "

@@ -154,3 +154,49 @@ class TestVqvaeRemat:
             return jnp.mean(out ** 2)
 
         assert "remat" in _grad_jaxpr(m, loss)
+
+
+import pytest
+
+
+@pytest.mark.slow
+class TestRematQuantized:
+    """remat composes with the QAT layer surgery: after convert_to_layers
+    the LSQ-quantized DiT (weight noise ON, drawn through the external
+    noise key) produces bit-identical loss and gradients with and without
+    gradient checkpointing — the recompute re-draws the same noise."""
+
+    def test_quantized_dit_parity(self):
+        from stablediffusion_pytorch_tpu.cim import registry
+        from stablediffusion_pytorch_tpu.cim.progressive import (
+            ProgressiveTrain,
+        )
+        from stablediffusion_pytorch_tpu.ops import quant
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        t = jnp.array([3, 7])
+
+        def loss_and_grad(remat):
+            m = _perturb(DIT(4, dict(DIT_CFG, gradient_checkpointing=remat),
+                             rngs=nnx.Rngs(0)))
+            pt = ProgressiveTrain(m)
+            pt.convert_to_layers(list(registry.nn_layers), "layers_qn_lsq",
+                                 noise_scale=0.05, input_bit=8,
+                                 output_bit=8, weight_bit=8)
+            for _, lyr in pt.customized_layers():
+                lyr.calibrating = True
+            m(x, t)  # absmax calibration pass (eager)
+            for _, lyr in pt.customized_layers():
+                lyr.calibrating = False
+
+            def loss_fn(m):
+                with quant.external_noise_key(jax.random.PRNGKey(5)):
+                    return jnp.mean(m(x, t) ** 2)
+
+            return nnx.value_and_grad(loss_fn)(m)
+
+        l0, g0 = loss_and_grad(False)
+        l1, g1 = loss_and_grad(True)
+        assert float(l0) != 0.0
+        np.testing.assert_array_equal(float(l0), float(l1))
+        assert _max_leaf_diff(g0, g1) == 0.0
