@@ -15,6 +15,9 @@ PASS_S=${EXT_PASS_S:-5400}            # wall budget per extension pass
 END=${EXT_END:-$(( $(date +%s) + 86400 ))}
 PASS=1
 while [ $(date +%s) -lt $(( END - 1800 )) ]; do
+  # the QAT finisher (run_qat_finish_r4.sh) holds the chip while it
+  # completes a timeout-cut qat_full run — one workload per chip
+  while [ -f /tmp/qat_hold ]; do sleep 120; END=$(( END + 120 )); done
   rm -f $R/t_synthface256_dit9_10k_end $R/t_synthface256_dit12_10k_end \
         $R/t_synthface256_10k_text_image_cond_end \
         $R/t_synthface256_dit9_10k_train_end \

@@ -283,9 +283,42 @@ def run_pipeline(args, data_iter_fn, cfg=None):
     if "LSQ_AnDi" in stages:
         trainer.stage = "LSQ_AnDi"
         _build_andi_tree(fresh_conversion="LSQ" not in stages)
-        trainer._calibrated = False
+        andi_resume = getattr(args, "andi_resume", None)
+        andi_start = 0
+        if andi_resume:
+            # Mid-stage resume of the 50-cycle AnDi interpolation (the
+            # reference schedule is multi-hour; a wall-clock kill must not
+            # forfeit the completed cycles). Rebuilt tree above is
+            # structure-identical to the full run's (same classes; static
+            # bit attrs are not checkpointed state). Jump the static quant
+            # params to the resume cycle's values BEFORE loading so any
+            # bit-change rescale acts on the conversion placeholders, not
+            # on the trained step sizes the checkpoint restores (same
+            # contract as --adda-resume below). Optimizer state restarts
+            # fresh (Adam warm restart) — only model state is in the ckpt.
+            ncyc = args.cycles or andi_cfg.qna_cycle
+            andi_start = max(0, int(getattr(args, "andi_start_cycle", 0)))
+            frac = andi_start / max(ncyc - 1, 1)
+
+            def _lerp(rng):
+                return rng[0] + (rng[1] - rng[0]) * frac
+
+            trainer.update_layer_parameter(
+                weight_bit=int(round(_lerp(andi_cfg.qna_weight_bit_range))),
+                input_bit=int(round(_lerp(andi_cfg.qna_feature_bit_range))),
+                output_bit=int(round(_lerp(andi_cfg.qna_feature_bit_range))),
+                noise_scale=_lerp(andi_cfg.qna_noise_range))
+            trainer.load_model(andi_resume)
+            # restored step sizes/enhance blends are trained — skip the
+            # absmax calibration pass that would clobber them
+            trainer._calibrated = True
+            log.info("resumed AnDi state from %s (start_cycle=%d)",
+                     andi_resume, andi_start)
+        else:
+            trainer._calibrated = False
         trainer.progressive_train(
             qn_cycle=args.cycles or andi_cfg.qna_cycle,
+            start_cycle=andi_start,
             weight_bit_range=andi_cfg.qna_weight_bit_range,
             input_bit_range=andi_cfg.qna_feature_bit_range,
             output_bit_range=andi_cfg.qna_feature_bit_range,
@@ -662,6 +695,15 @@ def main():
                              "LSQ_ADDA checkpoint and keep training that "
                              "stage (use with --stages LSQ_ADDA; pair with "
                              "--no-enhance iff the original run used it)")
+    parser.add_argument("--andi-resume", default=None,
+                        help="resume the LSQ_AnDi stage mid-interpolation "
+                             "from a cycle-end checkpoint (use with "
+                             "--stages LSQ_AnDi[,LSQ_ADDA] and "
+                             "--andi-start-cycle; pair with --no-enhance "
+                             "iff the original run used it)")
+    parser.add_argument("--andi-start-cycle", type=int, default=0,
+                        help="first AnDi cycle to train when resuming "
+                             "(= last completed cycle + 1)")
     parser.add_argument("--save-every-epoch", action="store_true",
                         help="checkpoint after every epoch within a stage "
                              "cycle (long extension runs)")

@@ -254,3 +254,63 @@ class TestQatAddaResume:
         assert ep_csv, "per-epoch CSV missing"
         with open(ep_csv[0]) as f:
             assert sum(1 for _ in f) == 3  # header + 2 epochs
+
+
+class TestQatAndiResume:
+    """--andi-resume: a wall-clock-killed LSQ_AnDi stage resumes
+    mid-interpolation from its newest cycle-end checkpoint instead of
+    forfeiting the completed cycles (the reference schedule is 50 cycles /
+    multi-hour; round-4's full-schedule run measured ~4.3 min per AnDi
+    cycle against a fixed timeout)."""
+
+    _tiny_cfg = staticmethod(TestQatAddaResume._tiny_cfg)
+    _args = staticmethod(TestQatAddaResume._args)
+
+    def _read_trajectory(self, root):
+        import csv
+
+        rows = []
+        for p in root.rglob("qat_trajectory.csv"):
+            with open(p) as f:
+                rows.extend(csv.DictReader(f))
+        return rows
+
+    @pytest.mark.slow
+    def test_andi_resume_continues_interpolation(self, tmp_path):
+        from stablediffusion_pytorch_tpu.config import andi_config
+        from stablediffusion_pytorch_tpu.tools.train_qat import (
+            _synthetic_data_iter, run_pipeline,
+        )
+
+        cfg = self._tiny_cfg()
+        run_pipeline(self._args(tmp_path, stages="LSQ,LSQ_AnDi"),
+                     _synthetic_data_iter(cfg, 2, n_batches=1), cfg)
+        ckpts = sorted((tmp_path / "runs").rglob("LSQ_AnDi/*/ddpm_ckpt"))
+        assert ckpts, "pipeline wrote no AnDi stage checkpoints"
+        rows1 = [r for r in self._read_trajectory(tmp_path / "runs")
+                 if r["stage"] == "LSQ_AnDi"]
+        assert [int(r["cycle"]) for r in rows1] == [0, 1]
+        # cycle-0 checkpoint = the lowest-noise dir (noise interpolates up)
+        first_ckpt = ckpts[0]
+
+        # resume from cycle 0's state at start_cycle=1 in a fresh
+        # process-equivalent; zero batches -> restored state must pass
+        # through to the recorded trajectory unchanged
+        args2 = self._args(tmp_path, stages="LSQ_AnDi",
+                           andi_resume=str(first_ckpt), andi_start_cycle=1,
+                           output_root=str(tmp_path / "runs2"))
+        trainer2, _ = run_pipeline(args2, lambda: iter(()), self._tiny_cfg())
+
+        rows2 = [r for r in self._read_trajectory(tmp_path / "runs2")
+                 if r["stage"] == "LSQ_AnDi"]
+        assert [int(r["cycle"]) for r in rows2] == [1]
+        # cycle-1 params are the END of the qna interpolation (cycles=2)
+        assert float(rows2[0]["noise_scale"]) == pytest.approx(
+            andi_config.qna_noise_range[1])
+        # restored step sizes match the donor's cycle-0 recorded state
+        assert float(rows2[0]["mean_step_size_weight"]) == pytest.approx(
+            float(rows1[0]["mean_step_size_weight"]), abs=2e-6)
+        assert float(rows2[0]["mean_step_size_input"]) == pytest.approx(
+            float(rows1[0]["mean_step_size_input"]), abs=2e-6)
+        # the rebuilt tree carries the enhance adapters
+        assert len(trainer2.customized_layers()) > 0
