@@ -60,7 +60,8 @@ def generate(args):
     cfg = load_config(args.config)
     tc = dict(cfg.train_params)
     dp = dict(cfg.diffusion_params)
-    key = seed_everything(tc.get("seed", 1111))
+    key = seed_everything(args.seed if args.seed is not None
+                          else tc.get("seed", 1111))
 
     sched = make_compvis_linear_schedule(dp["num_timesteps"],
                                          dp["beta_start"], dp["beta_end"])
@@ -130,6 +131,14 @@ def generate(args):
             masks = resize_mask_to_latent(masks, hw)
             batch_cond["image"] = masks
             batch_uncond["image"] = jnp.zeros_like(masks)
+        if "class" in condition_types:
+            ncls = condition_config["class_condition_config"]["num_classes"]
+            ids = np.asarray([int(c["class"]) for c in conds])
+            oh = jax.nn.one_hot(jnp.asarray(ids), ncls)
+            batch_cond["class"] = oh
+            # CFG null class = zero one-hot, matching the training dropout
+            # (utils.diffusion_utils.drop_class_condition multiplies by 0)
+            batch_uncond["class"] = jnp.zeros_like(oh)
         # pad to full batch for stable compile shapes
         if real < bs:
             pad = lambda x: jnp.concatenate(
@@ -171,6 +180,10 @@ def main():
     parser.add_argument("--cf-guidance-scale", type=float, default=0.8)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="sampling seed (default: config seed) — "
+                             "distinct seeds give independent FID sets for "
+                             "seed-variance error bars")
     generate(parser.parse_args())
 
 

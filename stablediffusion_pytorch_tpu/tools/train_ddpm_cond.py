@@ -216,6 +216,7 @@ def train(args):
                     seed=tc.get("seed", 1111))
 
     num_epochs = args.epochs or tc["ldm_epochs"]
+    start_epoch = max(0, getattr(args, "start_epoch", 0))
     save_every = tc.get("ldm_save_every_epochs", 1)
     all_losses, boundaries = [], []
 
@@ -250,9 +251,15 @@ def train(args):
                 flat = nearest_resize_np(
                     masks.reshape(s * b, *masks.shape[2:]), hw, hw)
                 if flat is None:
-                    raise ValueError(
-                        f"mask {masks.shape[2]}x{masks.shape[3]} is not an "
-                        f"integer multiple of the {hw}^2 latent grid")
+                    # non-integer downsample ratio: one device resize per
+                    # flush (same fallback the pre-accumulation path had —
+                    # prepare_cond_batch / engine.py keep it too); datasets
+                    # with such mask shapes must keep training, not abort
+                    from stablediffusion_pytorch_tpu.utils.diffusion_utils \
+                        import resize_mask_to_latent
+                    flat = np.asarray(resize_mask_to_latent(
+                        jnp.asarray(masks.reshape(s * b, *masks.shape[2:])),
+                        hw))
                 masks = flat.reshape(s, b, hw, hw, masks.shape[-1])
             stack["image"] = masks
         if "class" in condition_types:
@@ -272,7 +279,7 @@ def train(args):
         epoch_losses.extend(trainer.train_multi_step(lat, cond_stack, k_step))
         pending.clear()
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         epoch_losses = []
         for batch in dl.epoch(epoch):
             im, cond_np = batch if condition_types else (batch, {})
@@ -311,6 +318,11 @@ def main():
     parser.add_argument("--config", dest="config",
                         default="celebhq_text_image_cond")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--start-epoch", type=int, default=0,
+                        help="first (global) epoch index — lets resumed "
+                             "chunks keep a global epoch numbering so "
+                             "epoch_NNN checkpoints from different chunks "
+                             "line up for matched-epoch comparisons")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument("--vqvae-ckpt", default=None)
