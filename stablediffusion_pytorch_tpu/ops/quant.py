@@ -12,6 +12,7 @@ per-cycle recompile model).
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -142,29 +143,32 @@ def weight_quant_floor(data_float, data_bit, step_size, isint=False):
 # seed, giving noise that is i.i.d. across denoise steps, independent of the
 # data, decorrelated across layers, and reproducible from the sampler key.
 #
-# The global is read at TRACE time: it must be set around the code that
+# The key is read at TRACE time: it must be set around the code that
 # traces the model call (the samplers do this inside their scan bodies). A
 # model jitted separately and cache-hit from a trace taken outside the
 # context will not see the key — keep the context around the outermost
-# traced call, as the shipped samplers do.
-_EXTERNAL_NOISE_KEY: Optional[jax.Array] = None
+# traced call, as the shipped samplers do. The storage is thread-local so
+# two threads tracing concurrently (an eval thread sampling while a
+# serving worker ticks, parallel QAT eval jobs in one process) cannot leak
+# one trace's key into the other or restore the wrong previous value
+# (advisor r4); the trace-time caveat above applies per thread.
+_EXTERNAL_NOISE_TLS = threading.local()
 
 
 @contextlib.contextmanager
 def external_noise_key(key: Optional[jax.Array]):
     """Set the trace-time external noise key for quantized-layer weight noise."""
-    global _EXTERNAL_NOISE_KEY
-    prev = _EXTERNAL_NOISE_KEY
-    _EXTERNAL_NOISE_KEY = key
+    prev = getattr(_EXTERNAL_NOISE_TLS, "key", None)
+    _EXTERNAL_NOISE_TLS.key = key
     try:
         yield
     finally:
-        _EXTERNAL_NOISE_KEY = prev
+        _EXTERNAL_NOISE_TLS.key = prev
 
 
 def get_external_noise_key() -> Optional[jax.Array]:
     """The key set by :func:`external_noise_key`, or None outside the context."""
-    return _EXTERNAL_NOISE_KEY
+    return getattr(_EXTERNAL_NOISE_TLS, "key", None)
 
 
 def add_noise(weight: jax.Array, key: jax.Array, n_scale: float = 0.074) -> jax.Array:

@@ -28,10 +28,15 @@ This module is the TPU-native middle point — CHUNKED continuous batching:
     executed only on chunks where something finished) and their futures
     resolve; the freed slots admit the next queue entries.
 
-Per-request determinism matches the fixed engine exactly: the same seed
-gives the same latent init (``normal(PRNGKey(seed))``) and eta=0 DDIM is
-noise-free, so a request's image is independent of what shares its slots —
-pinned by tests/test_continuous.py against InferenceEngine outputs.
+Per-request determinism matches the fixed engine exactly at eta=0: the
+same seed gives the same latent init (``normal(PRNGKey(seed))``) and eta=0
+DDIM is noise-free, so a request's image is independent of what shares its
+slots — pinned by tests/test_continuous.py against InferenceEngine
+outputs. For eta>0 the per-step noise is derived from each request's own
+key folded with its own step position, so a request's trajectory is still
+deterministic under any slot co-tenancy (the stochastic stream differs
+from the fixed engine's, whose loop noise is itself batch-composition
+dependent — engine.py derives it from the first request's seed).
 
 Throughput math (DDIM-50, chunk 10): a request's lifetime spans 5 ticks;
 admission latency is at most one tick (~chunk x step_ms), dispatch overhead
@@ -61,7 +66,7 @@ from stablediffusion_pytorch_tpu.schedulers.samplers import (
 )
 from stablediffusion_pytorch_tpu.serving.engine import GenerateRequest
 from stablediffusion_pytorch_tpu.utils.diffusion_utils import (
-    nearest_resize_np,
+    nearest_resize_np, resize_mask_to_latent,
 )
 
 
@@ -141,8 +146,15 @@ class SlotEngine:
             self._cond["class"] = np.zeros((S, ncls), np.float32)
             self._uncond["class"] = np.zeros_like(self._cond["class"])
 
-        # device-resident latents (donated through the tick)
+        # device-resident latents (donated through the tick) + device
+        # copies of the admission-time mirrors (uploaded only on ticks
+        # that admitted something; uncond never changes after init)
         self._lat = jnp.zeros((S, self._hw, self._hw, self._z), self.dtype)
+        self._cond_dev = None
+        self._keys_dev = None
+        self._g_dev = None
+        self._uncond_dev = {k: jnp.asarray(v)
+                            for k, v in self._uncond.items()}
 
         self._queue: "queue.Queue[tuple[GenerateRequest, Future]]" = (
             queue.Queue())
@@ -154,6 +166,7 @@ class SlotEngine:
         self._decode_fn = jax.jit(self._build_decode())
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._last_error: Optional[BaseException] = None
 
     # ---- compiled programs ------------------------------------------------
     def _build_tick(self):
@@ -170,7 +183,7 @@ class SlotEngine:
         ts_prev = jnp.asarray(ts_prev_np[::-1].copy(), jnp.int32)
 
         def tick(den_state, lat, pos, occupied, fresh, keys, g,
-                 cond, uncond, noise_key):
+                 cond, uncond):
             # fresh slots: latent init from the request's own seed key —
             # identical to InferenceEngine's vmap(normal) init
             init = jax.vmap(
@@ -182,7 +195,7 @@ class SlotEngine:
                 m = nnx.merge(den_graphdef, den_state)
                 return m(x, t, c) if c is not None else m(x, t)
 
-            def body(carry, k_step):
+            def body(carry, _):
                 lat, pos = carry
                 act = occupied & (pos < steps)
                 p = jnp.clip(pos, 0, steps - 1)
@@ -205,7 +218,17 @@ class SlotEngine:
                 a_prev = sched.alpha_cum_prod[t_prev][:, None, None, None]
                 sigma = eta * jnp.sqrt(
                     (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev))
-                noise = jax.random.normal(k_step, lat.shape, lat.dtype)
+                # eta>0 step noise comes from each request's OWN key folded
+                # with its OWN position, so a request's trajectory is
+                # deterministic regardless of what shares its slots (the
+                # 0x0e7a fold separates this stream from the latent-init
+                # use of the same key). XLA dead-code-eliminates it at
+                # eta=0 where sigma is the constant 0.
+                noise = jax.vmap(
+                    lambda k, pp: jax.random.normal(
+                        jax.random.fold_in(jax.random.fold_in(k, 0x0E7A),
+                                           pp),
+                        (hw, hw, z), lat.dtype))(keys, p)
                 x_prev = (
                     jnp.sqrt(a_prev / a_t) * lat
                     + (jnp.sqrt(1.0 - a_prev - sigma**2)
@@ -216,8 +239,7 @@ class SlotEngine:
                 pos = jnp.where(act, pos + 1, pos)
                 return (lat, pos), None
 
-            (lat, pos), _ = jax.lax.scan(
-                body, (lat, pos), jax.random.split(noise_key, K))
+            (lat, pos), _ = jax.lax.scan(body, (lat, pos), None, length=K)
             return lat, pos
 
         return tick
@@ -234,7 +256,47 @@ class SlotEngine:
         return decode
 
     # ---- admission ----------------------------------------------------------
+    def _validate(self, req: GenerateRequest) -> None:
+        """Cheap structural checks, raised at the API edge (submit) AND at
+        admission — a malformed request must fail its own Future, never the
+        scheduler thread (advisor r4 high: a ValueError escaping _tick_once
+        killed loop() and hung every other request)."""
+        if "image" in self.condition_types and req.mask is not None:
+            m = np.asarray(req.mask)
+            ch = self._cond["image"].shape[-1]
+            if m.ndim != 3 or m.shape[-1] != ch:
+                raise ValueError(
+                    f"mask must be (H, W, {ch}), got {m.shape}")
+        if "class" in self.condition_types and req.class_id is not None:
+            ncls = self._cond["class"].shape[-1]
+            cid = int(req.class_id)
+            if not 0 <= cid < ncls:
+                raise ValueError(
+                    f"class_id {cid} out of range [0, {ncls})")
+
     def _admit(self, slot: int, req: GenerateRequest, fut: Future) -> None:
+        self._validate(req)
+        if "text" in self.condition_types:
+            from stablediffusion_pytorch_tpu.data.text import (
+                get_text_representation,
+            )
+
+            text_row = np.asarray(get_text_representation(
+                [req.prompt or ""], self.tokenizer, self.text_model))[0]
+        if "image" in self.condition_types:
+            if req.mask is None:
+                image_row = 0.0
+            else:
+                m = np.asarray(req.mask, np.float32)[None]
+                host = nearest_resize_np(m, self._hw, self._hw)
+                if host is None:
+                    # resolution not an integer multiple of the latent
+                    # grid: same device-resize fallback as the fixed
+                    # engine (engine.py:222-226) instead of rejecting
+                    host = np.asarray(resize_mask_to_latent(
+                        jnp.asarray(m), self._hw))
+                image_row = host[0]
+        # everything that can raise has run — commit the slot atomically
         self._occupied[slot] = True
         self._futures[slot] = fut
         self._keys[slot] = np.asarray(
@@ -242,79 +304,103 @@ class SlotEngine:
         self._g[slot] = (req.guidance if req.guidance is not None
                          else self.default_guidance)
         if "text" in self.condition_types:
-            from stablediffusion_pytorch_tpu.data.text import (
-                get_text_representation,
-            )
-
-            self._cond["text"][slot] = np.asarray(get_text_representation(
-                [req.prompt or ""], self.tokenizer, self.text_model))[0]
+            self._cond["text"][slot] = text_row
         if "image" in self.condition_types:
-            ch = self._cond["image"].shape[-1]
-            if req.mask is None:
-                self._cond["image"][slot] = 0.0
-            else:
-                m = np.asarray(req.mask, np.float32)[None]
-                host = nearest_resize_np(m, self._hw, self._hw)
-                if host is None:
-                    raise ValueError(
-                        f"mask {m.shape} is not an integer multiple of the "
-                        f"{self._hw}^2 latent grid")
-                if host.shape[-1] != ch:
-                    raise ValueError(f"mask must end in {ch} channels")
-                self._cond["image"][slot] = host[0]
+            self._cond["image"][slot] = image_row
         if "class" in self.condition_types:
             ncls = self._cond["class"].shape[-1]
-            cid = req.class_id if req.class_id is not None else 0
+            cid = int(req.class_id) if req.class_id is not None else 0
             self._cond["class"][slot] = np.eye(ncls, dtype=np.float32)[cid]
 
     # ---- the scheduler loop -------------------------------------------------
     def _tick_once(self) -> int:
         """Admit -> one chunk dispatch -> resolve finished. Returns the
-        number of active slots after the tick (0 = idle)."""
+        number of active slots after the tick (0 = idle). Per-request
+        errors fail that request's Future; a dispatch-level error fails
+        the in-flight futures and resets the slots — the scheduler thread
+        itself never dies (advisor r4 high)."""
         with self._lock:
             fresh = np.zeros((self.slots,), bool)
+            drained = False
             for s in range(self.slots):
-                if self._occupied[s]:
+                if drained or self._occupied[s]:
                     continue
-                try:
-                    req, fut = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                self._admit(s, req, fut)
-                fresh[s] = True
+                while True:
+                    try:
+                        req, fut = self._queue.get_nowait()
+                    except queue.Empty:
+                        drained = True
+                        break
+                    try:
+                        self._admit(s, req, fut)
+                        fresh[s] = True
+                        break
+                    except Exception as e:  # noqa: BLE001 — isolate request
+                        self._occupied[s] = False
+                        self._futures[s] = None
+                        if not fut.cancelled():
+                            fut.set_exception(e)
+                        # slot stays free: try the next queue entry in it
             if not self._occupied.any():
                 return 0
             self._n_ticks += 1
             self._occ_sum += int(self._occupied.sum())
 
-            noise_key = jax.random.fold_in(
-                jax.random.PRNGKey(0x51075), int(self._pos.sum()))
-            self._lat, pos_dev = self._tick_fn(
-                self._den_state, self._lat, jnp.asarray(self._pos),
-                jnp.asarray(self._occupied), jnp.asarray(fresh),
-                jnp.asarray(self._keys), jnp.asarray(self._g),
-                {k: jnp.asarray(v) for k, v in self._cond.items()},
-                {k: jnp.asarray(v) for k, v in self._uncond.items()},
-                noise_key)
-            self._pos = np.asarray(pos_dev)
+            try:
+                # cond/guidance/keys only change at admission: keep the
+                # device copies resident and re-upload only on fresh
+                # ticks, so steady-state ticks ship just the small (S,)
+                # control vectors (advisor r4 low: ~30 ms/host->device
+                # interaction on the relay-attached chip)
+                if fresh.any() or self._cond_dev is None:
+                    self._cond_dev = {k: jnp.asarray(v)
+                                      for k, v in self._cond.items()}
+                    self._keys_dev = jnp.asarray(self._keys)
+                    self._g_dev = jnp.asarray(self._g)
+                self._lat, pos_dev = self._tick_fn(
+                    self._den_state, self._lat, jnp.asarray(self._pos),
+                    jnp.asarray(self._occupied), jnp.asarray(fresh),
+                    self._keys_dev, self._g_dev,
+                    self._cond_dev, self._uncond_dev)
+                self._pos = np.asarray(pos_dev)
 
-            done = self._occupied & (self._pos >= self.steps)
-            if done.any():
-                imgs = np.asarray(
-                    self._decode_fn(self._vq_state, self._lat))
-                for s in np.nonzero(done)[0]:
+                done = self._occupied & (self._pos >= self.steps)
+                if done.any():
+                    imgs = np.asarray(
+                        self._decode_fn(self._vq_state, self._lat))
+                    for s in np.nonzero(done)[0]:
+                        fut = self._futures[s]
+                        self._futures[s] = None
+                        self._occupied[s] = False
+                        if fut is not None:
+                            fut.set_result(imgs[s])
+            except Exception as e:  # noqa: BLE001 — fail futures, not loop
+                for s in np.nonzero(self._occupied)[0]:
                     fut = self._futures[s]
                     self._futures[s] = None
                     self._occupied[s] = False
-                    if fut is not None:
-                        fut.set_result(imgs[s])
+                    if fut is not None and not fut.cancelled():
+                        fut.set_exception(e)
+                # the donated latent buffer may be invalid after a failed
+                # dispatch — rebuild the device state cleanly
+                self._lat = jnp.zeros(
+                    (self.slots, self._hw, self._hw, self._z), self.dtype)
+                self._pos = np.full((self.slots,), self.steps, np.int32)
             return int(self._occupied.sum())
 
     # ---- public API ---------------------------------------------------------
     def submit(self, req: GenerateRequest) -> Future:
-        """Queue one request; the Future resolves to a (H, W, C) uint8."""
+        """Queue one request; the Future resolves to a (H, W, C) uint8.
+        Structurally invalid requests (bad class_id, wrong mask shape)
+        fail their Future here, at the API edge, without entering the
+        queue."""
         fut: Future = Future()
         self._n_requests += 1
+        try:
+            self._validate(req)
+        except Exception as e:  # noqa: BLE001 — reject at the edge
+            fut.set_exception(e)
+            return fut
         self._queue.put((req, fut))
         return fut
 
@@ -345,7 +431,14 @@ class SlotEngine:
 
         def loop():
             while not self._stop.is_set():
-                if self._tick_once() == 0 and self._queue.empty():
+                try:
+                    active = self._tick_once()
+                except Exception as e:  # noqa: BLE001 — daemon must live
+                    # _tick_once already fails affected futures; this is
+                    # the last-resort guard for host-side surprises
+                    self._last_error = e
+                    active = 0
+                if active == 0 and self._queue.empty():
                     time.sleep(poll_s)
 
         self._worker = threading.Thread(target=loop, daemon=True)
