@@ -80,13 +80,18 @@ class SlotEngine:
 
     def __init__(self, cfg, denoiser, vqvae, tokenizer=None, text_model=None,
                  *, slots: int = 8, steps: int = 50, chunk: int = 10,
+                 step_options: Optional[Sequence[int]] = None,
                  method: str = "linear", eta: float = 0.0,
                  guidance: float = 2.0, dtype=None):
-        if steps % chunk:
-            raise ValueError(f"chunk {chunk} must divide steps {steps} so "
-                             f"slots finish exactly at chunk boundaries")
         self.slots = int(slots)
         self.steps = int(steps)
+        # heterogeneous per-request step counts: each option is its own
+        # (static) DDIM subsequence; a slot carries WHICH option it runs.
+        # This is the structural win over the fixed engine — a 20-step
+        # request frees its slot while its 100-step co-tenants keep going,
+        # where fixed batching must segregate requests by step count.
+        self.step_options = tuple(sorted(
+            {int(s) for s in (step_options or ())} | {int(steps)}))
         self.chunk = int(chunk)
         self.method = method
         self.eta = float(eta)
@@ -97,6 +102,23 @@ class SlotEngine:
         dp = dict(cfg.diffusion_params)
         self._sched = make_compvis_linear_schedule(
             dp["num_timesteps"], dp["beta_start"], dp["beta_end"])
+
+        # materialize each option's REVERSED subsequence up front: the
+        # REAL length can differ from the nominal request (stride
+        # rounding in ddim_timesteps), and it is the real length that
+        # must land on a chunk boundary and drive the done check
+        self._ts_rows, self._ts_prev_rows, real_lens = [], [], []
+        for s in self.step_options:
+            a, b = ddim_timesteps(self._sched.num_timesteps, s, method)
+            if len(a) % chunk:
+                raise ValueError(
+                    f"chunk {chunk} must divide steps {len(a)} (requested "
+                    f"{s}) so slots finish exactly at chunk boundaries")
+            self._ts_rows.append(a[::-1].copy())
+            self._ts_prev_rows.append(b[::-1].copy())
+            real_lens.append(len(a))
+        self._opt_total = np.asarray(real_lens, np.int32)
+        self.max_steps = int(self._opt_total.max())
 
         cc = dict(cfg.ldm_params).get("condition_config") or {}
         self.condition_types = list(cc.get("condition_types", []))
@@ -123,7 +145,9 @@ class SlotEngine:
 
         # ---- host-side slot mirrors (numpy; shipped whole each tick) ----
         S = self.slots
-        self._pos = np.full((S,), self.steps, np.int32)   # steps = idle
+        self._pos = np.full((S,), self.max_steps, np.int32)  # >=total = idle
+        self._opt = np.zeros((S,), np.int32)              # step-option index
+        self._total = np.full((S,), self.max_steps, np.int32)
         self._occupied = np.zeros((S,), bool)
         self._futures: list[Optional[Future]] = [None] * S
         self._g = np.full((S, 1, 1, 1), self.default_guidance, np.float32)
@@ -172,18 +196,26 @@ class SlotEngine:
     def _build_tick(self):
         den_graphdef = self._den_graphdef
         sched, K = self._sched, self.chunk
-        steps, hw, z, dtype = self.steps, self._hw, self._z, self.dtype
+        hw, z, dtype = self._hw, self._z, self.dtype
         has_cond = bool(self.condition_types)
         eta = self.eta
-        ts_np, ts_prev_np = ddim_timesteps(sched.num_timesteps, steps,
-                                           self.method)
-        # position p walks 0..steps-1 through the REVERSED subsequence,
-        # exactly ddim_sample's scan order
-        ts = jnp.asarray(ts_np[::-1].copy(), jnp.int32)
-        ts_prev = jnp.asarray(ts_prev_np[::-1].copy(), jnp.int32)
+        # one REVERSED DDIM subsequence per step option, padded to
+        # max_steps with the terminal value (inactive slots never read
+        # past their own total); position p walks 0..total-1 through row
+        # `opt`, exactly ddim_sample's scan order for that step count
+        max_steps = self.max_steps
+
+        def _pad(row):
+            pad = max_steps - len(row)
+            return np.concatenate([row, np.full(pad, row[-1], row.dtype)])
+
+        ts_tab = jnp.asarray(np.stack([_pad(r) for r in self._ts_rows]),
+                             jnp.int32)
+        ts_prev_tab = jnp.asarray(
+            np.stack([_pad(r) for r in self._ts_prev_rows]), jnp.int32)
 
         def tick(den_state, lat, pos, occupied, fresh, keys, g,
-                 cond, uncond):
+                 cond, uncond, opt, total):
             # fresh slots: latent init from the request's own seed key —
             # identical to InferenceEngine's vmap(normal) init
             init = jax.vmap(
@@ -197,10 +229,10 @@ class SlotEngine:
 
             def body(carry, _):
                 lat, pos = carry
-                act = occupied & (pos < steps)
-                p = jnp.clip(pos, 0, steps - 1)
-                t = ts[p]                      # (S,) heterogeneous timesteps
-                t_prev = ts_prev[p]
+                act = occupied & (pos < total)
+                p = jnp.minimum(jnp.maximum(pos, 0), total - 1)
+                t = ts_tab[opt, p]             # (S,) heterogeneous timesteps
+                t_prev = ts_prev_tab[opt, p]
                 if has_cond:
                     x2 = jnp.concatenate([lat, lat], axis=0)
                     t2 = jnp.concatenate([t, t], axis=0)
@@ -273,6 +305,11 @@ class SlotEngine:
             if not 0 <= cid < ncls:
                 raise ValueError(
                     f"class_id {cid} out of range [0, {ncls})")
+        req_steps = getattr(req, "steps", None)
+        if req_steps is not None and int(req_steps) not in self.step_options:
+            raise ValueError(
+                f"steps {req_steps} not in this engine's compiled "
+                f"step_options {self.step_options}")
 
     def _admit(self, slot: int, req: GenerateRequest, fut: Future) -> None:
         self._validate(req)
@@ -299,6 +336,10 @@ class SlotEngine:
         # everything that can raise has run — commit the slot atomically
         self._occupied[slot] = True
         self._futures[slot] = fut
+        req_steps = int(getattr(req, "steps", None) or self.steps)
+        opt = self.step_options.index(req_steps)
+        self._opt[slot] = opt
+        self._total[slot] = self._opt_total[opt]
         self._keys[slot] = np.asarray(
             jax.random.PRNGKey(int(req.seed)), np.uint32)
         self._g[slot] = (req.guidance if req.guidance is not None
@@ -361,10 +402,11 @@ class SlotEngine:
                     self._den_state, self._lat, jnp.asarray(self._pos),
                     jnp.asarray(self._occupied), jnp.asarray(fresh),
                     self._keys_dev, self._g_dev,
-                    self._cond_dev, self._uncond_dev)
+                    self._cond_dev, self._uncond_dev,
+                    jnp.asarray(self._opt), jnp.asarray(self._total))
                 self._pos = np.asarray(pos_dev)
 
-                done = self._occupied & (self._pos >= self.steps)
+                done = self._occupied & (self._pos >= self._total)
                 if done.any():
                     imgs = np.asarray(
                         self._decode_fn(self._vq_state, self._lat))
@@ -385,7 +427,7 @@ class SlotEngine:
                 # dispatch — rebuild the device state cleanly
                 self._lat = jnp.zeros(
                     (self.slots, self._hw, self._hw, self._z), self.dtype)
-                self._pos = np.full((self.slots,), self.steps, np.int32)
+                self._pos = np.full((self.slots,), self.max_steps, np.int32)
             return int(self._occupied.sum())
 
     # ---- public API ---------------------------------------------------------
@@ -469,6 +511,7 @@ class SlotEngine:
 
         return {
             "slots": self.slots, "steps": self.steps, "chunk": self.chunk,
+            "step_options": list(self.step_options),
             "method": self.method, "eta": self.eta,
             "default_guidance": self.default_guidance,
             "condition_types": self.condition_types,

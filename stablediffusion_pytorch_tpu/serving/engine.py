@@ -68,6 +68,10 @@ class GenerateRequest:
     class_id: Optional[int] = None
     mask: Optional[np.ndarray] = None
     guidance: Optional[float] = None  # None -> engine default
+    # DDIM step count. The fixed InferenceEngine pins steps at compile time
+    # and ignores this; SlotEngine honors it per slot when the value is in
+    # its compiled ``step_options`` (heterogeneous co-tenancy).
+    steps: Optional[int] = None
 
 
 class InferenceEngine:

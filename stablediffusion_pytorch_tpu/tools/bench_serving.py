@@ -126,6 +126,85 @@ def bench_streaming(cfg, model, vqvae, tokenizer, text_model, mask_shape,
     return out["streaming"]
 
 
+def bench_streaming_hetero(cfg, model, vqvae, tokenizer, text_model,
+                           mask_shape, *, slots: int, steps_list, chunk: int,
+                           n_requests: int, rate_per_s: float, dtype,
+                           seed: int = 7):
+    """Heterogeneous-steps + Poisson-arrival comparison (VERDICT r4 #7).
+
+    The workload continuous batching exists for: requests with MIXED step
+    counts arriving at Exp(1/rate) gaps. The fixed-engine side plays its
+    best realistic strategy — one compiled engine + coalescing batcher PER
+    step class (requests with different step counts cannot share a fixed
+    batch). The slot side is ONE SlotEngine whose step_options cover the
+    mix, so a 20-step request borrows the slot a 100-step request will
+    free. Same trace, same backend, same weights."""
+    import numpy as np
+
+    from stablediffusion_pytorch_tpu.serving import (
+        RequestBatcher, SlotEngine,
+    )
+
+    rng = np.random.default_rng(seed)
+    steps_list = sorted(int(s) for s in steps_list)
+    reqs = _requests(n_requests, mask_shape, base_seed=seed * 1000)
+    for i, r in enumerate(reqs):
+        r.steps = int(rng.choice(steps_list))
+    gaps = rng.exponential(1.0 / rate_per_s, n_requests)
+    gaps[0] = 0.0
+
+    def drive(submit, close):
+        futs, t_sub = [], []
+        t0 = time.perf_counter()
+        for r, gap in zip(reqs, gaps):
+            time.sleep(gap)
+            t_sub.append(time.perf_counter() - t0)
+            futs.append(submit(r))
+        lats = [
+            (fut.result(timeout=600), time.perf_counter() - t0 - t_s)[1]
+            for fut, t_s in zip(futs, t_sub)]
+        makespan = time.perf_counter() - t0
+        close()
+        return {"mean_latency_s": round(statistics.mean(lats), 3),
+                "p90_latency_s": round(sorted(lats)[int(0.9 * len(lats))], 3),
+                "makespan_s": round(makespan, 3),
+                "images_per_sec": round(n_requests / makespan, 3)}
+
+    # fixed side: one engine+batcher per step class, routed by req.steps
+    class_engines, class_batchers = {}, {}
+    for s in steps_list:
+        eng = InferenceEngine(cfg, model, vqvae, tokenizer, text_model,
+                              max_batch=slots, steps=s, dtype=dtype)
+        eng.warmup()
+        class_engines[s] = eng
+        class_batchers[s] = RequestBatcher(eng, window_s=0.05)
+
+    def fixed_submit(r):
+        return class_batchers[r.steps].submit(r)
+
+    def fixed_close():
+        for b in class_batchers.values():
+            b.close()
+
+    row_fixed = drive(fixed_submit, fixed_close)
+    row_fixed["engines"] = len(steps_list)
+
+    slot = SlotEngine(cfg, model, vqvae, tokenizer, text_model,
+                      slots=slots, steps=steps_list[-1],
+                      step_options=steps_list, chunk=chunk, dtype=dtype)
+    slot.warmup()
+    slot.start()
+    row_slot = drive(slot.submit, slot.stop)
+    row_slot["scheduler"] = slot.stats()
+
+    out = {"hetero_streaming": {
+        "n_requests": n_requests, "rate_per_s": rate_per_s,
+        "steps_mix": steps_list, "slots": slots, "chunk": chunk,
+        "fixed_engines_per_class": row_fixed, "slot_engine": row_slot}}
+    print(json.dumps(out), flush=True)
+    return out["hetero_streaming"]
+
+
 def main():
     p = argparse.ArgumentParser(description="serving throughput benchmark")
     p.add_argument("--config", default="synthface256_text_image_cond")
@@ -139,6 +218,11 @@ def main():
     p.add_argument("--stream-requests", type=int, default=24)
     p.add_argument("--stream-interval", type=float, default=0.25)
     p.add_argument("--chunk", type=int, default=10)
+    p.add_argument("--hetero-steps", default="",
+                   help="comma list (e.g. 20,50,100): also run the "
+                        "heterogeneous-steps + Poisson-arrival comparison")
+    p.add_argument("--poisson-rate", type=float, default=2.0,
+                   help="mean arrivals/sec for --hetero-steps")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -199,12 +283,23 @@ def main():
             n_requests=args.stream_requests,
             interval_s=args.stream_interval, dtype=dtype)
 
+    hetero = None
+    if args.hetero_steps:
+        slots = max(int(x) for x in args.batches.split(","))
+        hetero = bench_streaming_hetero(
+            cfg, model, vqvae, tokenizer, text_model, mask_shape,
+            slots=slots,
+            steps_list=[int(x) for x in args.hetero_steps.split(",")],
+            chunk=args.chunk, n_requests=args.stream_requests,
+            rate_per_s=args.poisson_rate, dtype=dtype)
+
     from stablediffusion_pytorch_tpu.utils.provenance import build_stamp
 
     report = {"metric": "serving_images_per_sec",
               "config": args.config, "bf16": bool(args.bf16),
               "value": max(r["images_per_sec"] for r in rows),
               "rows": rows, "padding_cost": pad, "streaming": streaming,
+              "hetero_streaming": hetero,
               "provenance": build_stamp(tokenizer=tokenizer,
                                         text_model=text_model)}
     print(json.dumps({k: report[k] for k in

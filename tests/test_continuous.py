@@ -87,6 +87,46 @@ class TestSlotEngineParity:
             slot_engine.stop()
         assert all(im.dtype == np.uint8 for im in imgs)
 
+    def test_heterogeneous_steps_per_request(self, engine):  # noqa: F811
+        """Requests with different step counts co-tenant in one engine;
+        each image equals the fixed engine compiled at ITS OWN step count
+        (the structural regime where continuous batching beats fixed
+        batching: a short request frees its slot early). Bad step counts
+        are rejected at the submit edge."""
+        from stablediffusion_pytorch_tpu.serving import (
+            GenerateRequest, InferenceEngine, SlotEngine,
+        )
+        from stablediffusion_pytorch_tpu.tools.common import (
+            build_denoiser, build_vqvae,
+        )
+
+        den, vq = build_denoiser(engine.cfg), build_vqvae(engine.cfg)
+        se = SlotEngine(engine.cfg, den, vq, engine.tokenizer,
+                        engine.text_model, slots=4, steps=4, chunk=2,
+                        step_options=[2, 4, 10], guidance=2.0)
+        base = _reqs(5, seed0=200)
+        for r, s in zip(base, [2, 10, 4, 2, 10]):
+            r.steps = s
+        got = se.generate(base)
+        assert got.shape[0] == 5 and got.dtype == np.uint8
+        for s in (2, 4, 10):
+            fixed = InferenceEngine(engine.cfg, den, vq, engine.tokenizer,
+                                    engine.text_model, max_batch=1,
+                                    steps=s, guidance=2.0)
+            for i, r in enumerate(base):
+                if r.steps != s:
+                    continue
+                ref = fixed.generate([GenerateRequest(
+                    prompt=r.prompt, seed=r.seed, mask=r.mask)])[0]
+                assert np.abs(got[i].astype(int)
+                              - ref.astype(int)).max() <= 1, \
+                    f"request {i} (steps={s}) diverged from its fixed ref"
+        bad = base[0]
+        bad.steps = 3
+        fut = se.submit(bad)
+        with pytest.raises(ValueError, match="step_options"):
+            fut.result(timeout=5)
+
     def test_chunk_must_divide_steps(self, engine):  # noqa: F811
         from stablediffusion_pytorch_tpu.serving import SlotEngine
         from stablediffusion_pytorch_tpu.tools.common import (
