@@ -21,10 +21,13 @@ that XLA fuses onto the MXU; zero-padding to the array grid is numerically
 exact because padded rows contribute 0 before the (nonlinear) ADC and padded
 columns are sliced off after it.
 
-Static vs traced: bit widths, noise scales, use_FP, and ADC/DAC bits are
-plain Python attributes — changing them (update_para) triggers ONE recompile
-per progressive cycle, matching the reference's schedule granularity
-(SURVEY.md §7 hard parts). Step sizes and adc_gain are learned nnx.Params.
+Static vs traced: bit widths, use_FP, and ADC/DAC bits are plain Python
+attributes — changing them (update_para) triggers a recompile, but only at
+the schedule's rare bit transitions. The continuously-annealed noise scales
+ride module STATE as ``QuantKnob`` variables (traced scalar operands), so
+the per-cycle noise anneal costs ZERO retraces — where the reference pays a
+full recompile every progressive cycle (SURVEY.md §7 hard parts). Step
+sizes and adc_gain are learned nnx.Params.
 
 LSQ step-size init is data-driven on the first batch in the reference
 (layers_utils_lsq.py:31-49); here it is an explicit eager calibration pass:
@@ -59,6 +62,18 @@ from stablediffusion_pytorch_tpu.ops.bit_ops import bit_len_for
 # shared quant-state mixin
 # ---------------------------------------------------------------------------
 
+class QuantKnob(nnx.Variable):
+    """Continuously-annealed quant knob (the noise scales).
+
+    Lives in module STATE (a traced scalar operand), not in the graphdef,
+    so the progressive schedule can move it EVERY cycle without retracing
+    or recompiling the train step. Bit widths stay static attrs — they
+    change only a handful of times per stage, and each change genuinely
+    needs a recompile (they select quantizer constants). The reference
+    pays a full per-cycle torch recompile for both (SURVEY.md §7); here
+    only the rare bit transitions pay one."""
+
+
 class QuantState(nnx.Module):
     """Holds bits/noise config, learned step sizes, and calibration logic."""
 
@@ -71,6 +86,14 @@ class QuantState(nnx.Module):
         self.weight_bit = weight_bit
         self.input_bit = input_bit
         self.output_bit = output_bit
+        # annealed scalars ride state; static bools gate the (rare) on/off
+        # graph shape (see QuantKnob docstring). Init goes THROUGH the
+        # property setters so nnx registers the attr names in its pytree
+        # node registry now — a later first-write would mutate the graphdef
+        # once and cost one spurious retrace.
+        self.noise_scale_v = QuantKnob(jnp.float32(0.0))
+        self.gain_noise_scale_v = QuantKnob(jnp.float32(0.0))
+        self.offset_noise_scale_v = QuantKnob(jnp.float32(0.0))
         self.noise_scale = float(noise_scale)
         self.gain_noise_scale = float(gain_noise_scale)
         self.offset_noise_scale = float(offset_noise_scale)
@@ -86,6 +109,34 @@ class QuantState(nnx.Module):
         self.step_size_output = nnx.Param(jnp.asarray(1.0))
         self.step_size_weight = nnx.Param(jnp.asarray(1.0))
         self.noise_rngs = nnx.Rngs(noise=seed)
+
+    # -- annealed-knob float views (eager-only: logging / ckpt naming) ---
+    @property
+    def noise_scale(self) -> float:
+        return float(self.noise_scale_v[...])
+
+    @noise_scale.setter
+    def noise_scale(self, v):
+        self.noise_scale_v.value = jnp.float32(v)
+        self.noise_on = bool(v)
+
+    @property
+    def gain_noise_scale(self) -> float:
+        return float(self.gain_noise_scale_v[...])
+
+    @gain_noise_scale.setter
+    def gain_noise_scale(self, v):
+        self.gain_noise_scale_v.value = jnp.float32(v)
+        self.gain_offset_noise_on = bool(v) or bool(self.offset_noise_scale)
+
+    @property
+    def offset_noise_scale(self) -> float:
+        return float(self.offset_noise_scale_v[...])
+
+    @offset_noise_scale.setter
+    def offset_noise_scale(self, v):
+        self.offset_noise_scale_v.value = jnp.float32(v)
+        self.gain_offset_noise_on = bool(v) or bool(self.gain_noise_scale)
 
     # -- calibration (jit-safe: traced where on the 1.0 sentinel) --------
     def _maybe_calibrate(self, param: nnx.Param, x: jax.Array, bit: int):
@@ -140,9 +191,9 @@ class QuantState(nnx.Module):
             self._maybe_calibrate(self.step_size_weight, w, self.weight_bit)
             w, w_scale = weight_quant_lsq(
                 w, self.weight_bit, self.step_size_weight[...], isint=isint)
-        if self.noise_scale:
+        if self.noise_on:
             key = noise_key if noise_key is not None else self._noise_key(w)
-            w = add_noise(w, key, self.noise_scale)
+            w = add_noise(w, key, self.noise_scale_v[...])
         return w, w_scale
 
     def _output_q(self, x, isint=False):
@@ -170,6 +221,8 @@ class QuantState(nnx.Module):
             self.gain_noise_scale = float(gain_noise_scale)
         if offset_noise_scale is not None:
             self.offset_noise_scale = float(offset_noise_scale)
+        # noise scales route through the property setters above -> the
+        # QuantKnob state vars + static gates; no graphdef change per cycle
         # bit-width-change step rescale (layers_utils_lsq.py:11-28)
         for param, b_old, b_new in [
             (self.step_size_weight, old[0], self.weight_bit),
@@ -244,8 +297,8 @@ class ConvQn(_QuantConvBase):
         w = self.kernel[...]
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
-        if self.noise_scale:
-            w = add_noise(w, self._noise_key(x), self.noise_scale)
+        if self.noise_on:
+            w = add_noise(w, self._noise_key(x), self.noise_scale_v[...])
         out = _conv(x, w, self.strides, self.padding, self.groups)
         if self.bias is not None:
             out = out + self.bias[...]
@@ -269,8 +322,8 @@ class LinearQn(_QuantLinearBase):
         w = self.kernel[...]
         if self.weight_quant:
             w, _ = data_quant_pass(w, self.weight_bit)
-        if self.noise_scale:
-            w = add_noise(w, self._noise_key(x), self.noise_scale)
+        if self.noise_on:
+            w = add_noise(w, self._noise_key(x), self.noise_scale_v[...])
         out = x @ w
         if self.bias is not None:
             out = out + self.bias[...]
@@ -293,7 +346,7 @@ class ConvQnLsq(_QuantConvBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x, _ = self._input_q(x, isint=False)
         w, _ = self._weight_q(self.kernel[...], isint=False, noise_key=nk)
         out = _conv(x, w, self.strides, self.padding, self.groups)
@@ -313,7 +366,7 @@ class LinearQnLsq(_QuantLinearBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x, _ = self._input_q(x, isint=False)
         w, _ = self._weight_q(self.kernel[...], isint=False, noise_key=nk)
         out = x @ w
@@ -378,7 +431,7 @@ class ConvLsqBitSplit(_QuantConvBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w, w_scale = self._weight_q(self.kernel[...], isint=True,
@@ -410,7 +463,7 @@ class LinearLsqBitSplit(_QuantLinearBase):
     def __call__(self, x):
         if self.use_FP:
             return self._fp_forward(x)
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w, w_scale = self._weight_q(self.kernel[...], isint=True,
@@ -582,7 +635,7 @@ class ConvLsqAdda(_QuantConvBase, _AddaState):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w, w_scale = self._weight_q(self.kernel[...], isint=True,
@@ -614,7 +667,7 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         w, w_scale = self._weight_q(self.kernel[...], isint=True,
                                     noise_key=nk)
@@ -632,7 +685,7 @@ class LinearLsqAdda(_QuantLinearBase, _AddaState):
             # int8 kernel only when w is provably integer int8 levels:
             # quantizer on AND no additive (float) weight noise
             w_bit_hint = (self.weight_bit
-                          if self.weight_quant and not self.noise_scale
+                          if self.weight_quant and not self.noise_on
                           else 0)
             out = adda_mvm(flat, w, adc_scale, self.input_bit,
                            self.slice_bit, self.adc_range, w_bit_hint)
@@ -730,10 +783,10 @@ class _CimArrayMixin(_AddaState):
         if jnp.ndim(adc_scale) == 1:  # per-column-block gains
             adc_scale = adc_scale.reshape(1, 1, 1, 1, nc, 1)
         out = adc_scale * out
-        if self.gain_noise_scale or self.offset_noise_scale:
+        if self.gain_offset_noise_on:
             gn_base, on_base = self._adc_noise(nc, ca)
-            gn = jnp.asarray(gn_base) * self.gain_noise_scale
-            on = jnp.asarray(on_base) * self.offset_noise_scale
+            gn = jnp.asarray(gn_base) * self.gain_noise_scale_v[...]
+            on = jnp.asarray(on_base) * self.offset_noise_scale_v[...]
             noised = out * (1.0 + gn) + self.adc_range * on
             out = out + jax.lax.stop_gradient(noised - out)
         out = jnp.clip(out, -self.adc_range - 1, self.adc_range)
@@ -779,7 +832,7 @@ class ConvLsqAddaCim(_QuantConvBase, _CimArrayMixin):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w, w_scale = self._weight_q(self.kernel[...], isint=True,
@@ -820,7 +873,7 @@ class LinearLsqAddaCim(_QuantLinearBase, _CimArrayMixin):
         if self.use_FP:
             return self._fp_forward(x)
         adc_scale = self._adc_scale()
-        nk = self._noise_key(x) if self.noise_scale else None
+        nk = self._noise_key(x) if self.noise_on else None
         x_q, in_scale = self._input_q(x, isint=True)
         slices = _bit_split_axis(x_q, self.input_bit, self.slice_bit)
         w2d = self.kernel[...]

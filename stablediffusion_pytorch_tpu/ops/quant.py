@@ -171,13 +171,15 @@ def get_external_noise_key() -> Optional[jax.Array]:
     return getattr(_EXTERNAL_NOISE_TLS, "key", None)
 
 
-def add_noise(weight: jax.Array, key: jax.Array, n_scale: float = 0.074) -> jax.Array:
+def add_noise(weight: jax.Array, key: jax.Array, n_scale=0.074) -> jax.Array:
     """Range-relative Gaussian noise: ``w + (max-min)*n_scale*N(0,1)``.
 
-    Reference: quant_noise_utils.py:92-98. ``n_scale`` must be a static float;
-    0 disables noise (and the PRNG draw).
+    Reference: quant_noise_utils.py:92-98. ``n_scale`` may be a static float
+    (0 disables noise and the PRNG draw) or a traced scalar — the progressive
+    QAT schedule anneals it every cycle as a runtime operand so the train
+    step never retraces (the reference pays a per-cycle recompile here).
     """
-    if n_scale == 0:
+    if isinstance(n_scale, (int, float)) and n_scale == 0:
         return weight
     w_range = jnp.max(weight) - jnp.min(weight)
     w_noise = w_range * n_scale * jax.random.normal(key, weight.shape, weight.dtype)

@@ -98,6 +98,13 @@ class LdmAndiTrainer(ProgressiveTrain):
         # Model_DiT_12L_train.py:240-247 — VERDICT W5); layer conversions
         # change the param tree, so a structure mismatch resets it
         self._ema = None
+        # ONE LdmTrainer reused across cycles: `self` is the static arg of
+        # the jitted step, so a fresh trainer per cycle would force a
+        # retrace even when the model graphdef is unchanged. Per-cycle
+        # fresh-Adam semantics are preserved via reset_optimizer(). Rebuilt
+        # only when stage surgery changes the param-tree structure.
+        self._trainer = None
+        self._trainer_tree = None
 
     def _record_trajectory(self, cycle: int, mean_loss: float,
                            steps: int) -> None:
@@ -152,19 +159,28 @@ class LdmAndiTrainer(ProgressiveTrain):
                 lambda m: m(lat, jnp.zeros((lat.shape[0],), jnp.int32), cond))
             self._calibrated = True
 
-        # fresh trainer per cycle: static quant attrs changed => recompile
+        # one trainer, fresh optimizer state per cycle (reference semantics)
+        # — the per-cycle noise anneal is a QuantKnob state write, so the
+        # jitted step stays cached; only bit/stage transitions retrace
         use_percent = self.stage == "LSQ_ADDA"
-        cc = dict(self.cfg.get("condition_config")
-                  or dict(self.cfg.get("ldm_params") or {}).get(
-                      "condition_config") or {})
-        trainer = LdmTrainer(self.model, self.sched,
-                             lr=self.cfg.train_params["ldm_lr"],
-                             condition_config=cc or None,
-                             empty_text_embed=self._empty_text_embed)
-        if use_percent:  # DiT-9L uses PercentOptimizerFP (reference: :266)
-            trainer.optimizer = nnx.Optimizer(
-                self.model, percent_adam(lr=self.cfg.train_params["ldm_lr"]),
-                wrt=nnx.Param)
+        pct_tx = (percent_adam(lr=self.cfg.train_params["ldm_lr"])
+                  if use_percent else None)  # DiT-9L PercentOptimizerFP (:266)
+        tree_now = jax.tree_util.tree_structure(nnx.state(self.model, nnx.Param))
+        if self._trainer is None or self._trainer_tree != tree_now:
+            cc = dict(self.cfg.get("condition_config")
+                      or dict(self.cfg.get("ldm_params") or {}).get(
+                          "condition_config") or {})
+            self._trainer = LdmTrainer(
+                self.model, self.sched,
+                lr=self.cfg.train_params["ldm_lr"],
+                condition_config=cc or None,
+                empty_text_embed=self._empty_text_embed)
+            self._trainer_tree = tree_now
+            if pct_tx is not None:
+                self._trainer.reset_optimizer(pct_tx)
+        else:
+            self._trainer.reset_optimizer(pct_tx)
+        trainer = self._trainer
         if self._ema is not None and (
                 jax.tree_util.tree_structure(self._ema)
                 == jax.tree_util.tree_structure(trainer.ema_params)):

@@ -122,19 +122,32 @@ class LdmTrainer:
         self.condition_config = condition_config or {}
         self.empty_text_embed = empty_text_embed
 
-        tx = optax.apply_if_finite(
-            optax.chain(
-                optax.clip_by_global_norm(grad_clip),
-                optax.inject_hyperparams(optax.adam)(learning_rate=lr),
-            ),
-            max_consecutive_errors=10_000,
-        )
-        self.optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+        self._lr0, self._grad_clip = lr, grad_clip
+        self.optimizer = nnx.Optimizer(model, self._default_tx(), wrt=nnx.Param)
         # deep copy — ema buffers must not alias the live params (the jitted
         # step donates the ema tree)
         self.ema_params = jax.tree.map(jnp.copy, nnx.state(model, nnx.Param))
         self.plateau = PlateauController(lr=lr)
         self._drop_probs = build_drop_probs(condition_config)
+
+    # -----------------------------------------------------------------
+    def _default_tx(self):
+        return optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(self._grad_clip),
+                optax.inject_hyperparams(optax.adam)(learning_rate=self._lr0),
+            ),
+            max_consecutive_errors=10_000,
+        )
+
+    def reset_optimizer(self, tx=None) -> None:
+        """Fresh optimizer state (per-cycle fresh-Adam semantics in the
+        progressive QAT schedule, reference Model_DiT_9L_train.py per-cycle
+        optimizer) WITHOUT constructing a new trainer: ``self`` is the
+        nnx.jit static arg of ``_step``/``_multi_step``, so reusing the
+        trainer object keeps the traced train step cached across cycles."""
+        self.optimizer = nnx.Optimizer(self.model, tx if tx is not None
+                                       else self._default_tx(), wrt=nnx.Param)
 
     # -----------------------------------------------------------------
     def _apply_cond_dropout(self, cond: Dict[str, jax.Array], key) -> Dict[str, jax.Array]:

@@ -1,0 +1,94 @@
+"""The progressive QAT schedule must not retrace per cycle.
+
+The reference recompiles its torch graph every progressive cycle because
+noise_scale/bits are baked in (SURVEY.md §7 hard parts; the round-4 full
+schedule run spent ~130 s/cycle on recompiles and timed out at LSQ 30/50).
+TPU-first fix: the continuously-annealed noise scales are ``QuantKnob``
+state variables (traced operands) — only the rare bit-width transitions
+change the graphdef. These tests pin that contract.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from stablediffusion_pytorch_tpu.cim.layers import (
+    ConvQnLsq,
+    LinearQnLsq,
+    calibrate_quant_layers,
+)
+from stablediffusion_pytorch_tpu.ops.quant import external_noise_key
+
+
+def _make_conv():
+    conv = nnx.Conv(4, 8, (3, 3), rngs=nnx.Rngs(0))
+    return ConvQnLsq(conv, weight_bit=6, input_bit=8, output_bit=8,
+                     noise_scale=0.01)
+
+
+def test_noise_anneal_does_not_retrace():
+    q = _make_conv()
+    x = jnp.ones((2, 8, 8, 4))
+    traces = []
+
+    @nnx.jit
+    def fwd(m, x):
+        traces.append(1)  # runs at trace time only
+        return m(x)
+
+    fwd(q, x)
+    n0 = len(traces)
+    assert n0 >= 1
+
+    # per-cycle anneal (the LSQ/AnDi stages do exactly this 50x): no retrace
+    for ns in (0.02, 0.03, 0.04):
+        q.update_para(noise_scale=ns)
+        fwd(q, x)
+    assert len(traces) == n0, "noise anneal must not retrace the step"
+
+    # a bit-width transition is a genuine graph change: exactly one retrace
+    q.update_para(weight_bit=5)
+    fwd(q, x)
+    assert len(traces) == n0 + 1
+
+
+def test_annealed_noise_scale_takes_effect():
+    """State-var anneal must actually change the math (same key, different
+    scale => different output; same key, same scale => identical output)."""
+    q = _make_conv()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    calibrate_quant_layers(q, lambda m: m(x), jit=False)
+    key = jax.random.PRNGKey(7)
+
+    @nnx.jit
+    def fwd(m, x):
+        return m(x)
+
+    with external_noise_key(key):
+        a1 = fwd(q, x)
+        a2 = fwd(q, x)
+    assert jnp.allclose(a1, a2), "same key+scale must be deterministic"
+
+    q.update_para(noise_scale=0.5)
+    with external_noise_key(key):
+        b = fwd(q, x)
+    assert not jnp.allclose(a1, b), "annealed scale must change the output"
+
+
+def test_gain_offset_knobs_no_retrace():
+    lin = nnx.Linear(16, 8, rngs=nnx.Rngs(0))
+    q = LinearQnLsq(lin, weight_bit=6, input_bit=8, output_bit=8,
+                    noise_scale=0.0, gain_noise_scale=0.1,
+                    offset_noise_scale=0.1)
+    # float views stay plain floats for logging / ckpt naming
+    assert isinstance(q.noise_scale, float)
+    assert q.gain_noise_scale == jnp.float32(0.1)
+    gd0, _ = nnx.split(q)
+    q.update_para(gain_noise_scale=0.2, offset_noise_scale=0.3)
+    gd1, _ = nnx.split(q)
+    assert gd0 == gd1, "gain/offset anneal must not change the graphdef"
+    assert q.gain_noise_scale == jnp.float32(0.2)
+    # knobs must not leak into the trainable-param set (optimizer/EMA)
+    params = nnx.state(q, nnx.Param)
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        assert "noise_scale_v" not in str(path)
