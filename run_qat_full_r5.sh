@@ -53,13 +53,17 @@ LAT=$R/latents/mnist/vqvae_latents
 # the full reference schedule: --cycles UNSET -> andi_config counts
 # (qn_cycle=50, qna_cycle=50, adda_cycle=2); per-cycle trajectory CSV +
 # cycle-end checkpoints land continuously for the harvester.
+# --eval-fp-first dropped for the final pass: the FP anchor under the
+# IDENTICAL protocol/checkpoint/extractor is already committed from r4
+# (framework-FID 0.662, runs_evidence_r4/qat_full qat_eval rows); set
+# QAT_EVAL_FP=--eval-fp-first to re-derive it in-run.
 timeout ${QAT_TIMEOUT:-9600} python -m stablediffusion_pytorch_tpu.tools.train_qat \
   --config mnist_class_cond --latent-dir "$LAT" --resume "$FP" \
   --stages LSQ,LSQ_AnDi,LSQ_ADDA \
   --epochs-per-cycle 1 --max-batches ${QAT_MAX_BATCHES:-80} \
   --batch-size 16 \
   --eval-vqvae-ckpt "$VQ" --eval-fid-images data/mnist/train/images \
-  --eval-fp-first --eval-samples 256 --eval-steps 100 --eval-guidance 2.0 \
+  ${QAT_EVAL_FP:-} --eval-samples 256 --eval-steps 100 --eval-guidance 2.0 \
   --output-root $R/full > $R/qat_full.log 2>&1
 RC=$?
 date +%s > $R/t_done
