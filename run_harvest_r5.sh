@@ -26,7 +26,7 @@ while [ $(date +%s) -lt $END ]; do
     git add -f "$f" 2>/dev/null
   done
   # newest QAT stage checkpoint (small MNIST DiT) + trajectory
-  QCK=$(ls -dt $R/qat_full/full/*/mnist/LSQ*/w*/ddpm_ckpt 2>/dev/null | head -1)
+  QCK=$(ls -dt $R/qat_full/full*/*/mnist/LSQ*/w*/ddpm_ckpt 2>/dev/null | head -1)
   if [ -n "$QCK" ] && [ "$(du -sm "$QCK" | cut -f1)" -lt 200 ]; then
     git add -f "$QCK" 2>/dev/null
   fi
