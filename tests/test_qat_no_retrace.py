@@ -92,3 +92,41 @@ def test_gain_offset_knobs_no_retrace():
     params = nnx.state(q, nnx.Param)
     for path, _ in jax.tree_util.tree_leaves_with_path(params):
         assert "noise_scale_v" not in str(path)
+
+
+def test_reset_optimizer_fresh_moments_same_trace():
+    """reset_optimizer() must give per-cycle fresh-Adam semantics without
+    invalidating the cached train-step trace (self is the static arg)."""
+    import numpy as np
+    from stablediffusion_pytorch_tpu.training import LdmTrainer
+    from stablediffusion_pytorch_tpu.schedulers import (
+        make_compvis_linear_schedule,
+    )
+
+    class Tiny(nnx.Module):
+        def __init__(self):
+            self.lin = nnx.Linear(4, 4, rngs=nnx.Rngs(0))
+
+        def __call__(self, x, t):
+            b, h, w, c = x.shape
+            return self.lin(x.reshape(b, -1, c)).reshape(b, h, w, c)
+
+    sched = make_compvis_linear_schedule(10, 1e-4, 2e-2)
+    tr = LdmTrainer(Tiny(), sched, lr=1e-3)
+    lat = jnp.ones((2, 2, 2, 4))
+    k = jax.random.PRNGKey(0)
+    tr.train_step(lat, None, k)
+    tr.train_step(lat, None, k)
+
+    def mu_norm():
+        leaves = [np.asarray(v) for v in jax.tree.leaves(
+            nnx.state(tr.optimizer))
+            if hasattr(v, "shape") and getattr(v, "size", 0) > 1]
+        return float(sum(np.abs(l).sum() for l in leaves))
+
+    assert mu_norm() > 0, "two steps must populate Adam moments"
+    before = tr._step.func  # underlying class-level JitWrapped
+    tr.reset_optimizer()
+    assert mu_norm() == 0, "reset must zero the moments"
+    tr.train_step(lat, None, k)  # same trainer/self -> cached trace reused
+    assert tr._step.func is before
