@@ -27,14 +27,26 @@ import platform
 
 
 def host_cpu_fingerprint() -> str:
-    """Short hash of this machine's CPU feature flags (/proc/cpuinfo)."""
+    """Short hash of this machine's CPU feature flags AND model name.
+
+    The model name matters, not just the flags: XLA:CPU picks per-SKU
+    compile tuning (e.g. ``prefer-no-scatter``/``prefer-no-gather`` on
+    CPUs with slow scatter/gather) from the detected CPU MODEL, so two
+    hosts with identical cpuinfo flags can still produce AOT entries that
+    SIGILL/segfault on each other (observed after a VM migration in round
+    5: cpu_aot_loader machine-feature mismatch -> segfault mid-suite)."""
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if line.startswith(("flags", "Features", "model name")):
+                    parts.append(line.strip())
+                    if len(parts) == 2:
+                        break
     except OSError:
         pass
+    if parts:
+        return hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:10]
     return (platform.machine() or "unknown").lower()
 
 
